@@ -1,0 +1,117 @@
+"""Standalone .pco container format: header, chunks, footer.
+
+Wire layout per docs/format.md "Standalone Format"
+(ref: pco/src/standalone/compressor.rs:85-204, decompressor.rs:83-250).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from pcodec_tpu import constants as c
+from pcodec_tpu.dtypes import NUMBER_TYPES_BY_BYTE, NumberType, number_type_from_np
+from pcodec_tpu.errors import CorruptionError, InsufficientDataError
+from pcodec_tpu.format.bitio import BitReader, BitWriter
+from pcodec_tpu.format.metadata import ChunkMeta, FormatVersion
+from pcodec_tpu.codec.decompress import PageDecompressor
+
+
+def _read_varint(reader: BitReader) -> int:
+    power = 1 + reader.read_uint(c.BITS_TO_ENCODE_VARINT_POWER)
+    res = reader.read_uint(power)
+    reader.drain_empty_byte("standalone size hint")
+    return res
+
+
+def write_varint(n: int, writer: BitWriter) -> None:
+    power = 1 if n == 0 else n.bit_length()
+    writer.write_uint(power - 1, c.BITS_TO_ENCODE_VARINT_POWER)
+    writer.write_uint(n & ((1 << power) - 1), power)
+
+
+@dataclass
+class FileDecompressor:
+    standalone_version: int
+    uniform_type: Optional[NumberType]
+    n_hint: int
+    format_version: FormatVersion
+
+    @classmethod
+    def new(cls, reader: BitReader) -> "FileDecompressor":
+        header = reader.read_aligned_bytes(len(c.MAGIC_HEADER))
+        if header != c.MAGIC_HEADER:
+            raise CorruptionError(
+                f"magic header does not match {c.MAGIC_HEADER!r}; found {header!r}"
+            )
+        standalone_version = reader.read_uint(c.BITS_TO_ENCODE_STANDALONE_VERSION)
+        uniform_type = None
+        n_hint = 0
+        if standalone_version < 2:
+            # pre-v2 the byte after the magic was the wrapped version; rewind
+            reader.bit_idx -= c.BITS_TO_ENCODE_STANDALONE_VERSION
+        else:
+            if standalone_version > c.CURRENT_STANDALONE_VERSION:
+                raise CorruptionError(
+                    f"file's standalone version ({standalone_version}) exceeds "
+                    f"max supported ({c.CURRENT_STANDALONE_VERSION})"
+                )
+            if standalone_version >= 3:
+                byte = reader.read_aligned_bytes(1)[0]
+                if byte != c.MAGIC_TERMINATION_BYTE:
+                    uniform_type = NUMBER_TYPES_BY_BYTE.get(byte)
+                    if uniform_type is None:
+                        raise CorruptionError(f"unknown number type byte: {byte}")
+            n_hint = _read_varint(reader)
+        format_version = FormatVersion.read_from(reader)
+        return cls(standalone_version, uniform_type, n_hint, format_version)
+
+    def chunk_preamble(self, reader: BitReader):
+        """Returns (number_type, chunk_n) or None at the terminator."""
+        byte = reader.read_aligned_bytes(1)[0]
+        if byte == c.MAGIC_TERMINATION_BYTE:
+            return None
+        nt = NUMBER_TYPES_BY_BYTE.get(byte)
+        if nt is None:
+            raise CorruptionError(f"unknown number type byte: {byte}")
+        if self.uniform_type is not None and nt is not self.uniform_type:
+            raise CorruptionError(
+                f"chunk number type {nt.name} does not match file's uniform type "
+                f"{self.uniform_type.name}"
+            )
+        n = reader.read_uint(c.BITS_TO_ENCODE_N_ENTRIES) + 1
+        reader.check_in_bounds()
+        return nt, n
+
+
+def simple_decompress(data: bytes, expected_dtype=None):
+    """Decompress an entire standalone file into a numpy array.
+
+    Returns (array, NumberType). If the file is empty of chunks, dtype falls
+    back to the uniform type or expected_dtype (f64 otherwise).
+    """
+    reader = BitReader(data)
+    fd = FileDecompressor.new(reader)
+    out_chunks = []
+    nt_seen = fd.uniform_type
+    while True:
+        pre = fd.chunk_preamble(reader)
+        if pre is None:
+            break
+        nt, n = pre
+        nt_seen = nt
+        meta = ChunkMeta.read_from(reader, fd.format_version, nt.latent)
+        pd = PageDecompressor(reader, meta, nt, n)
+        dst = np.zeros(n, dtype=nt.np_dtype)
+        pd.read(dst)
+        out_chunks.append(dst)
+    if nt_seen is None:
+        nt_seen = number_type_from_np(expected_dtype) if expected_dtype is not None else None
+    if not out_chunks:
+        dtype = nt_seen.np_dtype if nt_seen is not None else np.float64
+        return np.zeros(0, dtype=dtype), nt_seen
+    if expected_dtype is not None and out_chunks[0].dtype != np.dtype(expected_dtype):
+        raise CorruptionError(
+            f"file contains {out_chunks[0].dtype} but {expected_dtype} was requested"
+        )
+    return np.concatenate(out_chunks), nt_seen

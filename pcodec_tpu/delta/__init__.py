@@ -1,0 +1,158 @@
+"""Delta encodings: consecutive, lookback, conv1.
+
+Decode-side state semantics follow the page format exactly
+(ref: pco/src/delta/mod.rs, consecutive.rs, lookback.rs, conv1.rs).
+Consecutive decoding is vectorized as cascaded wrapping cumsums; lookback
+decoding uses log-depth pointer doubling instead of the reference's serial
+window walk (same results mod 2^bits).
+"""
+
+import numpy as np
+
+from pcodec_tpu import constants as c
+from pcodec_tpu.errors import CorruptionError
+from pcodec_tpu.format.metadata import DeltaEncoding
+
+
+def toggle_center(latents: np.ndarray) -> np.ndarray:
+    """Wrapping add of MID; self-inverse (ref: delta/mod.rs:26-31)."""
+    mid = latents.dtype.type(1) << latents.dtype.type(latents.dtype.itemsize * 8 - 1)
+    return latents + mid
+
+
+# ---------------------------------------------------------------------------
+# consecutive
+# ---------------------------------------------------------------------------
+
+
+def consecutive_encode(order: int, latents: np.ndarray):
+    """Returns (deltas_with_junk_front, page_moments).
+
+    Leaves `order` junk latents at the front, like the reference
+    (ref: delta/consecutive.rs:19-43).
+    """
+    out = latents.copy()
+    moments = np.zeros(order, dtype=latents.dtype)
+    for o in range(order):
+        view = out[o:]
+        moments[o] = view[0] if len(view) else latents.dtype.type(0)
+        if len(view) > 1:
+            view[1:] = view[1:] - view[:-1]  # wrapping diff
+    start = min(order, len(out))
+    out[start:] = toggle_center(out[start:])
+    return out, moments
+
+
+def consecutive_decode_in_place(moments: np.ndarray, latents: np.ndarray) -> None:
+    """Mutates `latents` (deltas in, values out) and `moments` (batch state).
+
+    k cascaded cumsums seeded by the delta moments
+    (ref: delta/consecutive.rs:45-50; spec: docs/format.md Consecutive).
+    """
+    latents[:] = toggle_center(latents)
+    n = len(latents)
+    for j in range(len(moments) - 1, -1, -1):
+        moment = moments[j]
+        cs = np.cumsum(latents, dtype=latents.dtype)
+        if n:
+            new_moment = moment + cs[-1]
+            latents[1:] = moment + cs[:-1]
+            latents[0] = moment
+            moments[j] = new_moment
+
+
+# ---------------------------------------------------------------------------
+# lookback
+# ---------------------------------------------------------------------------
+
+
+def lookback_window_buffer(encoding: DeltaEncoding, state: np.ndarray):
+    """(window_buffer, start_pos); ref: delta/lookback.rs:200-214."""
+    window_n = encoding.window_n
+    buffer_n = max(window_n, c.FULL_BATCH_N) * 2
+    buf = np.zeros(buffer_n, dtype=state.dtype)
+    buf[window_n - len(state) : window_n] = state
+    return buf, window_n
+
+
+def lookback_decode_in_place(
+    encoding: DeltaEncoding,
+    lookbacks: np.ndarray,  # uint32, >= relevant length
+    pos_holder: list,  # single-element [start_pos]
+    window: np.ndarray,
+    latents: np.ndarray,
+) -> None:
+    """Batch lookback decode via pointer doubling (log2(batch) passes).
+
+    Equivalent to the reference's serial loop (ref: delta/lookback.rs:217-246):
+    out[i] = latent[i] + out[i - lookback[i]], with out[-j] drawn from the
+    window. Raises on lookbacks exceeding the window.
+    """
+    latents[:] = toggle_center(latents)
+    window_n, state_n = encoding.window_n, encoding.state_n
+    start_pos = pos_holder[0]
+    batch_n = len(latents)
+    if start_pos + batch_n > len(window):
+        window[:window_n] = window[start_pos - window_n : start_pos]
+        start_pos = window_n
+
+    m = min(batch_n, len(lookbacks))
+    lb = np.ones(batch_n, dtype=np.int64)
+    lb[:m] = lookbacks[:m].astype(np.int64)
+    oob = lb > window_n
+    if oob.any():
+        # the reference flags corruption and substitutes lookback 1
+        lb = np.where(oob, 1, lb)
+        had_oob = True
+    else:
+        had_oob = False
+
+    # absolute window positions of this batch's outputs
+    add = latents.copy()
+    ptr = start_pos + np.arange(batch_n, dtype=np.int64) - lb
+    in_batch = ptr >= start_pos
+    while in_batch.any():
+        j = ptr - start_pos
+        add = np.where(in_batch, add + add[np.where(in_batch, j, 0)], add)
+        ptr = np.where(in_batch, ptr[np.where(in_batch, j, 0)] - 0, ptr)
+        # note: ptr jump must use the ORIGINAL ptrs of the referenced element
+        in_batch = ptr >= start_pos
+    window[start_pos : start_pos + batch_n] = add + window[ptr]
+
+    end_pos = start_pos + batch_n
+    latents[:] = window[start_pos - state_n : end_pos - state_n]
+    pos_holder[0] = end_pos
+    if had_oob:
+        raise CorruptionError("delta lookback exceeded window n")
+
+
+# ---------------------------------------------------------------------------
+# conv1
+# ---------------------------------------------------------------------------
+
+
+def conv1_decode_in_place(encoding: DeltaEncoding, state: np.ndarray, latents: np.ndarray) -> None:
+    """Serial linear-recurrence decode (ref: delta/conv1.rs:235-253).
+
+    Arithmetic is exact in Python ints; overflow is impossible because
+    ChunkMeta validation bounds |prediction| < 2^(conv_bits - 1).
+    """
+    latents[:] = toggle_center(latents)
+    order = len(encoding.weights)
+    assert len(state) == order
+    q = encoding.quantization
+    bias = encoding.bias
+    weights = list(encoding.weights)
+    bits = latents.dtype.itemsize * 8
+    mask = (1 << bits) - 1
+
+    window = [int(x) for x in state.tolist()] + [int(x) for x in latents.tolist()]
+    for i in range(order, len(window)):
+        s = bias
+        base = i - order
+        for j in range(order):
+            s += weights[j] * window[base + j]
+        pred = (s if s > 0 else 0) >> q
+        window[i] = (window[i] + pred) & mask
+    latents[:] = np.array(window[: len(latents)], dtype=latents.dtype)
+    state[:] = np.array(window[len(latents) :], dtype=latents.dtype)
