@@ -1,0 +1,18 @@
+"""pcodec_tpu: a TPU-native implementation of the Pco compression format.
+
+Wire-compatible with pcodec (format v4.1): host numpy reference path,
+JAX/Pallas device path for decode throughput, C++ native kernels for the
+serial host hot loops.
+"""
+
+from pcodec_tpu.codec.chunk_config import ChunkConfig, DeltaSpec, ModeSpec, PagingSpec  # noqa: F401
+from pcodec_tpu.codec.standalone import simple_compress, simple_decompress  # noqa: F401
+from pcodec_tpu.constants import FULL_BATCH_N  # noqa: F401
+from pcodec_tpu.errors import (  # noqa: F401
+    CorruptionError,
+    InsufficientDataError,
+    InvalidArgumentError,
+    PcoError,
+)
+
+__version__ = "0.1.0"

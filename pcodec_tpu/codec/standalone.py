@@ -84,6 +84,58 @@ class FileDecompressor:
         return nt, n
 
 
+def write_header(
+    writer: BitWriter,
+    n_hint: int = 0,
+    uniform_type: Optional[NumberType] = None,
+    format_version: Optional[FormatVersion] = None,
+) -> None:
+    """ref: standalone/compressor.rs:85-105."""
+    writer.write_aligned_bytes(c.MAGIC_HEADER)
+    writer.write_uint(c.CURRENT_STANDALONE_VERSION, c.BITS_TO_ENCODE_STANDALONE_VERSION)
+    writer.write_aligned_bytes(bytes([uniform_type.type_byte if uniform_type else 0]))
+    write_varint(n_hint, writer)
+    writer.finish_byte()
+    (format_version or FormatVersion()).write_to(writer)
+
+
+def write_footer(writer: BitWriter) -> None:
+    writer.write_aligned_bytes(bytes([c.MAGIC_TERMINATION_BYTE]))
+
+
+def simple_compress(nums: np.ndarray, config=None, uniform_type: bool = False) -> bytes:
+    """Compress a numpy array into a standalone .pco file.
+
+    Each page of the paging spec becomes one chunk with a single page
+    (ref: standalone/simple.rs:58-107).
+    """
+    from pcodec_tpu.codec.chunk_config import ChunkConfig, PagingSpec
+    from pcodec_tpu.codec.compress import chunk_compressor
+
+    if config is None:
+        config = ChunkConfig()
+    nt = number_type_from_np(nums.dtype)
+    writer = BitWriter(max(len(nums) // 2, 1 << 12))
+    write_header(
+        writer, n_hint=len(nums), uniform_type=nt if uniform_type else None
+    )
+    n_per_page = config.paging_spec.n_per_page(len(nums))
+    start = 0
+    for page_n in n_per_page:
+        end = start + page_n
+        from dataclasses import replace
+
+        chunk_cfg = replace(config, paging_spec=PagingSpec.exact_pages([page_n]))
+        cc = chunk_compressor(nt, nums[start:end], chunk_cfg)
+        writer.write_aligned_bytes(bytes([nt.type_byte]))
+        writer.write_uint(page_n - 1, c.BITS_TO_ENCODE_N_ENTRIES)
+        cc.write_meta(writer)
+        cc.write_page(0, writer)
+        start = end
+    write_footer(writer)
+    return writer.to_bytes()
+
+
 def simple_decompress(data: bytes, expected_dtype=None):
     """Decompress an entire standalone file into a numpy array.
 

@@ -51,14 +51,15 @@ def consecutive_decode_in_place(moments: np.ndarray, latents: np.ndarray) -> Non
     """
     latents[:] = toggle_center(latents)
     n = len(latents)
-    for j in range(len(moments) - 1, -1, -1):
-        moment = moments[j]
-        cs = np.cumsum(latents, dtype=latents.dtype)
-        if n:
-            new_moment = moment + cs[-1]
-            latents[1:] = moment + cs[:-1]
-            latents[0] = moment
-            moments[j] = new_moment
+    with np.errstate(over="ignore"):
+        for j in range(len(moments) - 1, -1, -1):
+            moment = moments[j]
+            cs = np.cumsum(latents, dtype=latents.dtype)
+            if n:
+                new_moment = moment + cs[-1]
+                latents[1:] = moment + cs[:-1]
+                latents[0] = moment
+                moments[j] = new_moment
 
 
 # ---------------------------------------------------------------------------

@@ -130,8 +130,11 @@ class NumberType:
         ref: pco/src/data_types/float.rs impl_float exp2
         """
         L = self.latent.np_dtype
-        bits = L.type((self.exp_offset + power)) << L.type(self.precision_bits)
-        return bits.view(self.np_dtype)[()] if bits.shape else bits.view(self.np_dtype)
+        # match Rust's `(exp_offset + power) as uN` wrapping cast exactly —
+        # out-of-range powers intentionally produce inf/garbage bit patterns
+        raw = ((self.exp_offset + power) & self.latent.max) << self.precision_bits
+        bits = L.type(raw & self.latent.max)
+        return np.asarray(bits).view(self.np_dtype)[()]
 
     def int_float_to_latent(self, x: np.ndarray) -> np.ndarray:
         """Map "integer-valued" floats to latents preserving order.
