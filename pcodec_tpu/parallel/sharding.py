@@ -1,0 +1,106 @@
+"""Multi-chip scale-out: shard decode tasks data-parallel over a device mesh.
+
+The reference is single-threaded per chunk (SURVEY.md §2.5); the primary
+TPU scaling axis is data parallelism over independent pages/chunks:
+  * chunk metadata (flat ANS node/lower tables) is replicated (KB-scale),
+  * page segments + per-page state shard across the mesh's `tasks` axis,
+  * decode needs no cross-device communication; a psum only aggregates
+    byte-count/checksum statistics (rides ICI).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pcodec_tpu.ops.decode import (
+    TaskSchema,
+    build_group_arrays,
+    decode_group_kernel,
+    group_tasks,
+    plan_standalone_file,
+)
+
+
+def make_mesh(devices=None, axis: str = "tasks") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def pad_group_to_devices(arrays, n_devices: int):
+    """Pad the task axis so it divides the mesh size (padding tasks decode
+    garbage from zeroed segments and are dropped on the host)."""
+    T = arrays[0].shape[0]
+    rem = (-T) % n_devices
+    if rem == 0:
+        return arrays, T
+    padded = []
+    for a in arrays:
+        pad_shape = (rem,) + a.shape[1:]
+        padded.append(np.concatenate([a, np.zeros(pad_shape, dtype=a.dtype)]))
+    return tuple(padded), T
+
+
+def sharded_decode_group(mesh: Mesh, arrays, node_flat, lower_flat, schema: TaskSchema):
+    """Run one schema group sharded across the mesh; returns host numpy."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    arrays, true_t = pad_group_to_devices(arrays, mesh.devices.size)
+    args = tuple(jax.device_put(jnp.asarray(a), shard) for a in arrays) + (
+        jax.device_put(jnp.asarray(node_flat), repl),
+        jax.device_put(jnp.asarray(lower_flat), repl),
+    )
+    out = decode_group_kernel(*args, schema=schema)
+    return np.asarray(out)[:true_t]
+
+
+def sharded_decode_standalone(data: bytes, mesh: Mesh = None):
+    """Decode a standalone file with pages sharded across the mesh."""
+    mesh = mesh or make_mesh()
+    plan = plan_standalone_file(data)
+    node_flat, lower_flat = plan.flat_tables()
+
+    task_outputs = {}
+    for schema, tis in group_tasks(plan):
+        items = [plan.tasks[ti] for ti in tis]
+        arrays = build_group_arrays(items, schema)
+        out = sharded_decode_group(mesh, arrays, node_flat, lower_flat, schema)
+        for i, ti in enumerate(tis):
+            t = plan.tasks[ti]
+            task_outputs[ti] = out[i, : t.n].astype(t.nt.np_dtype)
+
+    pieces = []
+    for kind, idx in plan.order_keys:
+        pieces.append(plan.fallback_arrays[idx] if kind == "fallback" else task_outputs[idx])
+    if not pieces:
+        return np.zeros(0, dtype=np.float64)
+    return np.concatenate(pieces)
+
+
+def sharded_roundtrip_step(mesh: Mesh, arrays, node_flat, lower_flat, schema: TaskSchema):
+    """A jitted, mesh-sharded "full step": decode all shards and psum a
+    checksum across the mesh (exercises a real collective over the task
+    sharding). Used by the multichip dry run."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("schema",))
+    def step(*args, schema=None):
+        out = decode_group_kernel(*args, schema=schema)
+        checksum = jnp.sum(out.astype(jnp.float64))
+        return out, checksum
+
+    arrays, true_t = pad_group_to_devices(arrays, mesh.devices.size)
+    # sharding propagates from the input placement: task axis over the mesh,
+    # ANS tables replicated
+    args = tuple(jax.device_put(jnp.asarray(a), shard) for a in arrays) + (
+        jax.device_put(jnp.asarray(node_flat), repl),
+        jax.device_put(jnp.asarray(lower_flat), repl),
+    )
+    out, checksum = step(*args, schema=schema)
+    return np.asarray(out)[:true_t], float(checksum)
