@@ -103,12 +103,16 @@ def main():
             o.block_until_ready()
         best = min(best, time.perf_counter() - t0)
 
-    # verify bit-exactness
+    # verify bit-exactness (reassemble in original chunk order)
     out_np = [np.asarray(o) for o in outs]
-    pieces = []
+    task_outputs = {}
     for (schema, tis, items, _), o in zip(prepared, out_np):
-        for i, t in enumerate(items):
-            pieces.append(o[i, : t.n].astype(t.nt.np_dtype))
+        for i, (ti, t) in enumerate(zip(tis, items)):
+            task_outputs[ti] = o[i, : t.n].astype(t.nt.np_dtype)
+    pieces = [
+        plan.fallback_arrays[idx] if kind == "fallback" else task_outputs[idx]
+        for kind, idx in plan.order_keys
+    ]
     decoded = np.concatenate(pieces)
     assert np.array_equal(decoded, nums), "decode mismatch!"
 

@@ -42,6 +42,13 @@ def choose_lookbacks(encoding: DeltaEncoding, latents: np.ndarray) -> np.ndarray
     if n <= state_n:
         return np.zeros(0, dtype=np.uint32)
 
+    try:
+        from pcodec_tpu.native import kernels as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        return _native.choose_lookbacks_native(encoding.window_n_log, state_n, latents)
+
     hash_table_n = 1 << (encoding.window_n_log + 1)
     hash_mask = hash_table_n - 1
     window_n = encoding.window_n

@@ -11,6 +11,11 @@ import numpy as np
 
 from pcodec_tpu.errors import CorruptionError, InsufficientDataError, InvalidArgumentError
 
+try:
+    from pcodec_tpu.native import kernels as _native
+except Exception:  # pragma: no cover - native build optional
+    _native = None
+
 _PAD = 24  # trailing scratch so unaligned window loads never go OOB
 
 
@@ -74,10 +79,14 @@ class BitWriter:
             return
         bitlens = np.asarray(bitlens, dtype=np.int64)
         vals = np.asarray(vals, dtype=np.uint64)
-        csum = np.cumsum(bitlens)
-        total = int(csum[-1])
-        bit_pos = self.bit_idx + csum - bitlens
+        total = int(bitlens.sum())
         self._ensure(((self.bit_idx + total) >> 3) + _PAD)
+        if _native is not None:
+            _native.write_bits(vals, bitlens, self.bit_idx, self.buf)
+            self.bit_idx += total
+            return
+        csum = np.cumsum(bitlens)
+        bit_pos = self.bit_idx + csum - bitlens
 
         byte_idx = (bit_pos >> 3).astype(np.int64)
         shift = (bit_pos & 7).astype(np.uint64)

@@ -1,0 +1,165 @@
+"""ctypes bindings for the native host kernels (built on first import).
+
+Set PCODEC_TPU_NO_NATIVE=1 to force the pure-python fallbacks (used by tests
+to validate both paths).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "pco_kernels.cpp")
+_SO = os.path.join(_DIR, "libpco_kernels.so")
+
+if os.environ.get("PCODEC_TPU_NO_NATIVE"):
+    raise ImportError("native kernels disabled via PCODEC_TPU_NO_NATIVE")
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    _build()
+
+_lib = ctypes.CDLL(_SO)
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+_lib.pco_ans_decode_batch.restype = ctypes.c_longlong
+_lib.pco_ans_decode_batch.argtypes = [
+    _u8p, ctypes.c_longlong, ctypes.c_int, _u32p, _i32p, _u64p, _u64p, _i64p,
+]
+_lib.pco_ans_encode_reverse.restype = None
+_lib.pco_ans_encode_reverse.argtypes = [
+    _i64p, ctypes.c_longlong, _u32p, _u32p, _u32p, _i64p, _u32p, _u64p, _i64p, _u32p,
+]
+_lib.pco_choose_lookbacks.restype = None
+_lib.pco_choose_lookbacks.argtypes = [
+    _u64p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int, _u32p,
+]
+_lib.pco_write_bits.restype = None
+_lib.pco_write_bits.argtypes = [
+    _u64p, _i64p, ctypes.c_longlong, ctypes.c_longlong, _u8p,
+]
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+# ---------------------------------------------------------------------------
+# adapters used by pcodec_tpu.codec
+# ---------------------------------------------------------------------------
+
+
+def _cld_native_tables(cld):
+    cached = getattr(cld, "_native_tables", None)
+    if cached is None:
+        dec = cld.decoder
+        node = (
+            dec.bits_to_read.astype(np.int32)
+            | (dec.offset_bits.astype(np.int32) << 4)
+            | (dec.next_state_idx_base.astype(np.int32) << 11)
+        )
+        lowers = np.ascontiguousarray(cld.state_lowers.astype(np.uint64))
+        cached = (np.ascontiguousarray(node), lowers)
+        cld._native_tables = cached
+    return cached
+
+
+def ans_decode(reader, batch_n: int, state_idxs: list, cld) -> int:
+    """Decode one interleaved tANS batch; fills cld scratch, mutates
+    state_idxs, returns the new bit index."""
+    node, lowers = _cld_native_tables(cld)
+    states = np.array(state_idxs, dtype=np.uint32)
+    out_lowers = getattr(cld, "_native_out64", None)
+    if out_lowers is None:
+        out_lowers = np.zeros(256, dtype=np.uint64)
+        cld._native_out64 = out_lowers
+    new_bit = _lib.pco_ans_decode_batch(
+        _ptr(reader.src, ctypes.c_uint8),
+        reader.bit_idx,
+        batch_n,
+        _ptr(states, ctypes.c_uint32),
+        _ptr(node, ctypes.c_int32),
+        _ptr(lowers, ctypes.c_uint64),
+        _ptr(out_lowers, ctypes.c_uint64),
+        _ptr(cld.scratch_offset_bits, ctypes.c_int64),
+    )
+    cld.scratch_latents[:batch_n] = out_lowers[:batch_n].astype(cld.latent_type.np_dtype)
+    state_idxs[:] = states.tolist()
+    return int(new_bit)
+
+
+def _encoder_native_tables(enc):
+    cached = getattr(enc, "_native_tables", None)
+    if cached is None:
+        min_renorm = np.array(enc.min_renorm_bits, dtype=np.uint32)
+        cutoff = np.array(enc.renorm_bit_cutoff, dtype=np.uint32)
+        weights = np.array(enc.weights, dtype=np.uint32)
+        flat = np.concatenate([np.array(ns, dtype=np.uint32) for ns in enc.next_states]) \
+            if enc.next_states else np.zeros(0, dtype=np.uint32)
+        offs = np.zeros(len(enc.next_states), dtype=np.int64)
+        pos = 0
+        for i, ns in enumerate(enc.next_states):
+            offs[i] = pos
+            pos += len(ns)
+        cached = (min_renorm, cutoff, flat, offs, weights)
+        enc._native_tables = cached
+    return cached
+
+
+def ans_encode_reverse(symbols: np.ndarray, ans_vals: np.ndarray, ans_bits: np.ndarray, encoder):
+    """Reverse LIFO encode; returns final states (list of 4)."""
+    min_renorm, cutoff, flat, offs, weights = _encoder_native_tables(encoder)
+    syms = np.ascontiguousarray(symbols, dtype=np.int64)
+    final_states = np.full(4, encoder.default_state(), dtype=np.uint32)
+    _lib.pco_ans_encode_reverse(
+        _ptr(syms, ctypes.c_int64),
+        len(syms),
+        _ptr(min_renorm, ctypes.c_uint32),
+        _ptr(cutoff, ctypes.c_uint32),
+        _ptr(flat, ctypes.c_uint32),
+        _ptr(offs, ctypes.c_int64),
+        _ptr(weights, ctypes.c_uint32),
+        _ptr(ans_vals, ctypes.c_uint64),
+        _ptr(ans_bits, ctypes.c_int64),
+        _ptr(final_states, ctypes.c_uint32),
+    )
+    return final_states.tolist()
+
+
+def choose_lookbacks_native(window_n_log: int, state_n: int, latents: np.ndarray) -> np.ndarray:
+    lat64 = np.ascontiguousarray(latents.astype(np.uint64))
+    n = len(lat64)
+    out = np.zeros(max(n - state_n, 0), dtype=np.uint32)
+    if len(out):
+        _lib.pco_choose_lookbacks(
+            _ptr(lat64, ctypes.c_uint64),
+            n,
+            latents.dtype.itemsize * 8,
+            state_n,
+            window_n_log,
+            _ptr(out, ctypes.c_uint32),
+        )
+    return out
+
+
+def write_bits(vals: np.ndarray, bitlens: np.ndarray, start_bit: int, dst: np.ndarray) -> None:
+    _lib.pco_write_bits(
+        _ptr(np.ascontiguousarray(vals, dtype=np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(bitlens, dtype=np.int64), ctypes.c_int64),
+        len(vals),
+        start_bit,
+        _ptr(dst, ctypes.c_uint8),
+    )

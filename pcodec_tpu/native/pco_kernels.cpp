@@ -1,0 +1,255 @@
+// Native host kernels for the serial hot loops of the Pco codec.
+//
+// The reference keeps these loops fast with carefully shaped scalar Rust
+// (ref: pco/src/page_latent_decompressor.rs:89-139,
+//  chunk_latent_compressor.rs:96-132, delta/lookback.rs:101-164). Here they
+// are C++ with the same wire semantics, driven from Python via ctypes. The
+// TPU path (pcodec_tpu/ops) is independent of this module; these kernels
+// serve the host/CLI runtime and the encoder.
+//
+// Build: g++ -O3 -march=native -shared -fPIC pco_kernels.cpp -o libpco_kernels.so
+
+#include <cstdint>
+#include <cstring>
+
+static inline uint64_t u64_at(const uint8_t* src, size_t byte_idx) {
+  uint64_t v;
+  std::memcpy(&v, src + byte_idx, 8);
+  return v;  // little-endian hosts only (x86/arm64)
+}
+
+extern "C" {
+
+// Decode one batch (<= 256 symbols) of a 4-stream interleaved tANS section.
+// node_packed[i] = bits_to_read | offset_bits << 4 | next_state_idx_base << 11
+// Returns the new absolute bit index. states[4] updated in place;
+// out_lowers/out_ob filled for batch_n symbols.
+long long pco_ans_decode_batch(
+    const uint8_t* src,
+    long long bit_idx,
+    int batch_n,
+    uint32_t* states,
+    const int32_t* node_packed,
+    const uint64_t* state_lowers,
+    uint64_t* out_lowers,
+    int64_t* out_ob) {
+  size_t stale_byte = (size_t)(bit_idx >> 3);
+  uint32_t bits_past = (uint32_t)(bit_idx & 7);
+  uint32_t s0 = states[0], s1 = states[1], s2 = states[2], s3 = states[3];
+  int i = 0;
+  // full quads: one u64 window feeds all four streams (4 * 14 <= 57 bits)
+  for (; i + 4 <= batch_n; i += 4) {
+    stale_byte += bits_past >> 3;
+    bits_past &= 7;
+    uint64_t packed = u64_at(src, stale_byte);
+#define PCO_SYM(j, st)                                          \
+    {                                                           \
+      int32_t node = node_packed[st];                           \
+      uint32_t nbits = (uint32_t)(node & 15);                   \
+      uint32_t val = (uint32_t)(packed >> bits_past) &          \
+                     ((1u << nbits) - 1u);                      \
+      out_lowers[i + j] = state_lowers[st];                     \
+      out_ob[i + j] = (node >> 4) & 127;                        \
+      bits_past += nbits;                                       \
+      st = (uint32_t)(node >> 11) + val;                        \
+    }
+    PCO_SYM(0, s0)
+    PCO_SYM(1, s1)
+    PCO_SYM(2, s2)
+    PCO_SYM(3, s3)
+  }
+  // ragged tail
+  uint32_t st4[4] = {s0, s1, s2, s3};
+  for (; i < batch_n; i++) {
+    stale_byte += bits_past >> 3;
+    bits_past &= 7;
+    uint64_t packed = u64_at(src, stale_byte);
+    uint32_t& st = st4[i & 3];
+    int32_t node = node_packed[st];
+    uint32_t nbits = (uint32_t)(node & 15);
+    uint32_t val = (uint32_t)(packed >> bits_past) & ((1u << nbits) - 1u);
+    out_lowers[i] = state_lowers[st];
+    out_ob[i] = (node >> 4) & 127;
+    bits_past += nbits;
+    st = (uint32_t)(node >> 11) + val;
+  }
+  states[0] = st4[0];
+  states[1] = st4[1];
+  states[2] = st4[2];
+  states[3] = st4[3];
+  return ((long long)stale_byte << 3) + (long long)bits_past;
+}
+
+// Gather offsets at prefix-summed bit positions and add them to latents.
+// Equivalent to the vectorized read_offsets pass.
+void pco_read_offsets_u64(
+    const uint8_t* src,
+    long long base_bit_idx,
+    int n,
+    const int64_t* ob,        // offset bits per element
+    uint64_t* latents) {      // in-out: += offset
+  long long bit = base_bit_idx;
+  for (int i = 0; i < n; i++) {
+    uint32_t nbits = (uint32_t)ob[i];
+    if (nbits > 0) {
+      size_t byte = (size_t)(bit >> 3);
+      uint32_t sh = (uint32_t)(bit & 7);
+      uint64_t w = u64_at(src, byte) >> sh;
+      if (nbits > 57) {
+        // second window overlapping by one byte (avoids shift-by-64)
+        uint64_t w2 = u64_at(src, byte + 7) << (56 - sh);
+        w |= w2;
+      }
+      uint64_t mask = nbits >= 64 ? ~0ull : ((1ull << nbits) - 1ull);
+      latents[i] += w & mask;
+    }
+    bit += ob[i];
+  }
+}
+
+// Reverse-order 4-stream interleaved tANS encode of one page body.
+// next_states_flat: concatenated per-symbol next-state arrays;
+// next_off[s] is the start of symbol s's array; weights[s] its length.
+void pco_ans_encode_reverse(
+    const int64_t* symbols,
+    long long n,
+    const uint32_t* min_renorm,
+    const uint32_t* cutoff,
+    const uint32_t* next_states_flat,
+    const int64_t* next_off,
+    const uint32_t* weights,
+    uint64_t* ans_vals,
+    int64_t* ans_bits,
+    uint32_t* final_states) {  // in-out, 4 entries, start = default state
+  uint32_t st[4] = {final_states[0], final_states[1], final_states[2],
+                    final_states[3]};
+  for (long long i = n - 1; i >= 0; i--) {
+    int j = (int)(i & 3);
+    int64_t s = symbols[i];
+    uint32_t renorm = min_renorm[s] + (st[j] >= cutoff[s] ? 1u : 0u);
+    ans_vals[i] = st[j] & ((1u << renorm) - 1u);
+    ans_bits[i] = renorm;
+    st[j] = next_states_flat[next_off[s] + (st[j] >> renorm) - weights[s]];
+  }
+  final_states[0] = st[0];
+  final_states[1] = st[1];
+  final_states[2] = st[2];
+  final_states[3] = st[3];
+}
+
+// Bit-pack values at sequential positions into dst (write_batch).
+void pco_write_bits(
+    const uint64_t* vals,
+    const int64_t* bitlens,
+    long long n,
+    long long start_bit,
+    uint8_t* dst) {
+  long long bit = start_bit;
+  for (long long i = 0; i < n; i++) {
+    size_t byte = (size_t)(bit >> 3);
+    uint32_t sh = (uint32_t)(bit & 7);
+    uint64_t lo = vals[i] << sh;
+    uint64_t cur;
+    std::memcpy(&cur, dst + byte, 8);
+    cur |= lo;
+    std::memcpy(dst + byte, &cur, 8);
+    if (sh > 0) {
+      uint8_t hi = (uint8_t)(vals[i] >> (64 - sh));
+      dst[byte + 8] |= hi;
+    }
+    bit += bitlens[i];
+  }
+}
+
+// The lookback proposal/scoring loop (ref: delta/lookback.rs:101-164).
+// Exact same candidate generation and goodness scoring; latents passed as
+// u64 (value semantics identical for all latent widths given `bits`).
+void pco_choose_lookbacks(
+    const uint64_t* latents,
+    long long n,
+    int bits,
+    int state_n,
+    int window_n_log,
+    uint32_t* out_lookbacks) {  // length n - state_n
+  const int PROPOSED = 16;
+  const int BRUTE = 6;
+  const int REPEATING = 4;
+  long long window_n = 1ll << window_n_log;
+  long long hash_table_n = 1ll << (window_n_log + 1);
+  long long hash_mask = hash_table_n - 1;
+  uint64_t value_mask = bits >= 64 ? ~0ull : ((1ull << bits) - 1ull);
+
+  long long counts_len = window_n < n ? window_n : n;
+  uint32_t* lookback_counts = new uint32_t[counts_len];
+  for (long long i = 0; i < counts_len; i++) lookback_counts[i] = 1;
+  long long* idx_hash = new long long[2 * hash_table_n]();
+
+  long long proposed[PROPOSED];
+  for (int i = 0; i < PROPOSED; i++)
+    proposed[i] = (i + 1) < state_n ? (i + 1) : state_n;
+  long long best_lookback = 1;
+  long long repeating_idx = 0;
+
+  auto hash_fn = [hash_mask](uint64_t x) -> long long {
+    x = (x ^ (x >> 32)) * 11400714819323197441ull;
+    x = x ^ (x >> 32);
+    return (long long)(x & (uint64_t)hash_mask);
+  };
+
+  for (long long i = state_n; i < n; i++) {
+    uint64_t l = latents[i];
+
+    long long new_brute = i < PROPOSED ? i : PROPOSED;
+    proposed[new_brute - 1] = new_brute;
+
+    int prop_idx = BRUTE + REPEATING;
+    long long offset = 0;
+    for (int ci = 0; ci < 2; ci++) {
+      int coarseness = ci == 0 ? 0 : 8;
+      uint64_t bucket = l >> coarseness;
+      long long h0 = hash_fn(bucket - 1);
+      long long h1 = hash_fn(bucket);
+      long long h2 = hash_fn(bucket + 1);
+      long long hs[3] = {h0, h1, h2};
+      for (int k = 0; k < 3; k++) {
+        long long lb_last = i - idx_hash[offset + hs[k]];
+        proposed[prop_idx] =
+            lb_last <= window_n ? lb_last : (prop_idx < i ? prop_idx : i);
+        prop_idx++;
+      }
+      idx_hash[offset + h1] = i;
+      offset += hash_table_n;
+    }
+
+    uint32_t best_goodness = 0;
+    long long best = 0;
+    for (int k = 0; k < PROPOSED; k++) {
+      long long lb = proposed[k];
+      uint32_t count = lookback_counts[lb - 1];
+      uint64_t other = latents[i - lb];
+      uint32_t lookback_goodness = 32 - __builtin_clz(count);
+      uint64_t d1 = (l - other) & value_mask;
+      uint64_t d2 = (other - l) & value_mask;
+      uint64_t delta = d1 < d2 ? d1 : d2;
+      uint32_t delta_goodness =
+          delta == 0 ? (uint32_t)bits
+                     : (uint32_t)bits - (64 - __builtin_clzll(delta));
+      uint32_t goodness = lookback_goodness + delta_goodness;
+      if (goodness > best_goodness) {
+        best_goodness = goodness;
+        best = lb;
+      }
+    }
+
+    if (best != best_lookback) repeating_idx++;
+    proposed[BRUTE + (repeating_idx % REPEATING)] = best;
+    best_lookback = best;
+    out_lookbacks[i - state_n] = (uint32_t)best;
+    lookback_counts[best - 1] += 1;
+  }
+
+  delete[] lookback_counts;
+  delete[] idx_hash;
+}
+
+}  // extern "C"

@@ -66,6 +66,7 @@ class TaskSchema:
     n_batches: int
     seg_bytes: int
     dict_len: int
+    max_ob: int = 64  # max offset bits across the group (shrinks the window)
 
 
 @dataclass
@@ -255,7 +256,34 @@ def plan_standalone_file(data: bytes) -> DevicePlan:
 # ---------------------------------------------------------------------------
 
 
-def _ans_scan_single(seg, node_flat, start_bit, table_off, body_n, init_states, n_batches):
+def _overlapping_u32(segs):
+    """seg32o[t, b] = 4 bytes of segs[t] at byte offset b, as uint32.
+
+    Built with shifted adds (no gathers); lets the scan fetch any <=25-bit
+    window with a single gather."""
+    s = segs.astype(jnp.uint32)
+    out = s
+    for k in range(1, 4):
+        shifted = jnp.concatenate(
+            [s[:, k:], jnp.zeros((s.shape[0], k), jnp.uint32)], axis=1
+        )
+        out = out | (shifted << jnp.uint32(8 * k))
+    return out
+
+
+def _overlapping_u64(segs):
+    """seg64o[t, b] = 8 bytes of segs[t] at byte offset b, as uint64."""
+    s = segs.astype(jnp.uint64)
+    out = s
+    for k in range(1, 8):
+        shifted = jnp.concatenate(
+            [s[:, k:], jnp.zeros((s.shape[0], k), jnp.uint64)], axis=1
+        )
+        out = out | (shifted << jnp.uint64(8 * k))
+    return out
+
+
+def _ans_scan_single(seg32, node_flat, start_bit, table_off, body_n, init_states, n_batches):
     """4-stream interleaved tANS walk over all batches and up to 3 vars.
 
     The outer scan runs over flattened (batch, var) steps — vars are
@@ -273,29 +301,27 @@ def _ans_scan_single(seg, node_flat, start_bit, table_off, body_n, init_states, 
         def quad_body(carry_q, q):
             st4, cur, obsum = carry_q
             idxs = []
+            obs = []
             new_st = []
             for j in range(4):
                 valid = (q * 4 + j) < valid_count
                 st = st4[j]
                 node = node_flat[toff + st]
                 bits = node & 15
-                ob = (node >> 4) & 127
+                ob = jnp.where(valid, (node >> 4) & 127, 0)
                 base = node >> 11
                 byte = cur >> 3
                 sh = cur & 7
-                w = (
-                    seg[byte].astype(jnp.int32)
-                    | (seg[byte + 1].astype(jnp.int32) << 8)
-                    | (seg[byte + 2].astype(jnp.int32) << 16)
-                )
+                w = seg32[byte].astype(jnp.int32)
                 val = (w >> sh) & ((1 << bits) - 1)
                 cur = cur + jnp.where(valid, bits, 0)
-                obsum = obsum + jnp.where(valid, ob, 0)
+                obsum = obsum + ob
                 idxs.append(st)
+                obs.append(ob)
                 new_st.append(jnp.where(valid, base + val, st))
-            return (jnp.stack(new_st), cur, obsum), jnp.stack(idxs)
+            return (jnp.stack(new_st), cur, obsum), (jnp.stack(idxs), jnp.stack(obs))
 
-        (st4, cursor, obsum), idx_quads = jax.lax.scan(
+        (st4, cursor, obsum), (idx_quads, ob_quads) = jax.lax.scan(
             quad_body,
             (states[v], cursor, jnp.int32(0)),
             jnp.arange(QUADS_PER_BATCH, dtype=jnp.int32),
@@ -303,30 +329,39 @@ def _ans_scan_single(seg, node_flat, start_bit, table_off, body_n, init_states, 
         states = states.at[v].set(st4)
         offsets_start = cursor
         cursor = cursor + obsum
-        return (states, cursor), (idx_quads.reshape(c.FULL_BATCH_N), offsets_start)
+        return (states, cursor), (
+            idx_quads.reshape(c.FULL_BATCH_N),
+            ob_quads.reshape(c.FULL_BATCH_N),
+            offsets_start,
+        )
 
-    (_, _), (state_idx, offsets_start) = jax.lax.scan(
+    (_, _), (state_idx, ob, offsets_start) = jax.lax.scan(
         step_body,
         (init_states, start_bit),
         jnp.arange(n_batches * N_VARS, dtype=jnp.int32),
     )
     return (
         state_idx.reshape(n_batches, N_VARS, c.FULL_BATCH_N),
+        ob.reshape(n_batches, N_VARS, c.FULL_BATCH_N),
         offsets_start.reshape(n_batches, N_VARS),
     )
 
 
-def _gather_bits64(seg, bit_pos, nbits):
-    """Vectorized read of up to 64 bits at arbitrary bit positions."""
+def _gather_bits64(seg32, seg64, bit_pos, nbits, max_bits=64):
+    """Vectorized read of up to `max_bits` bits at arbitrary bit positions.
+
+    Uses precomputed overlapping windows: one u32 gather for <=25-bit reads,
+    one u64 gather for <=57, two for wider — vs. up to nine byte gathers.
+    """
     byte = (bit_pos >> 3).astype(jnp.int64)
     sh = (bit_pos & 7).astype(jnp.uint64)
-    acc = jnp.zeros(byte.shape, dtype=jnp.uint64)
-    for k in range(8):
-        acc = acc | (seg[byte + k].astype(jnp.uint64) << jnp.uint64(8 * k))
-    val = acc >> sh
-    hi = seg[byte + 8].astype(jnp.uint64)
-    extra = jnp.where(sh == 0, jnp.uint64(0), hi << (jnp.uint64(64) - jnp.maximum(sh, 1)))
-    val = val | extra
+    if max_bits <= 25:
+        val = seg32[byte].astype(jnp.uint64) >> sh
+    else:
+        val = seg64[byte] >> sh
+        if max_bits > 57:
+            w2 = seg64[byte + 7] << (jnp.uint64(56) - sh)
+            val = val | w2
     nbits = nbits.astype(jnp.uint64)
     mask = jnp.where(
         nbits >= 64,
@@ -336,22 +371,27 @@ def _gather_bits64(seg, bit_pos, nbits):
     return val & mask
 
 
-def _var_latents(seg, node_flat, lower_flat, toff, body_n, state_idx, offsets_start, const_lower):
-    """latents[p] = bin.lower + offset (padded positions = const_lower)."""
+def _var_latents(
+    seg32, seg64, lower_flat, toff, body_n, state_idx, ob, offsets_start, const_lower, max_ob
+):
+    """latents[p] = bin.lower + offset (padded positions = const_lower).
+
+    `ob` (offset bits per symbol) comes straight from the scan output, so the
+    only table lookup left here is the bin lower."""
     n_batches = state_idx.shape[0]
     si = state_idx + toff
-    node = node_flat[si]
-    ob = (node >> 4) & 127
+    if max_ob > 0:
+        csum_excl = jnp.cumsum(ob, axis=1) - ob
+        bit_pos = offsets_start[:, None].astype(jnp.int64) + csum_excl.astype(jnp.int64)
+        offs = _gather_bits64(seg32, seg64, bit_pos, ob, max_bits=max_ob)
+    else:
+        offs = jnp.zeros(si.shape, dtype=jnp.uint64)
+    lowers = lower_flat[si]
     pos = (
         jnp.arange(n_batches, dtype=jnp.int32)[:, None] * c.FULL_BATCH_N
         + jnp.arange(c.FULL_BATCH_N, dtype=jnp.int32)[None, :]
     )
     valid = pos < body_n
-    ob = jnp.where(valid, ob, 0)
-    csum_excl = jnp.cumsum(ob, axis=1) - ob
-    bit_pos = offsets_start[:, None].astype(jnp.int64) + csum_excl.astype(jnp.int64)
-    offs = _gather_bits64(seg, bit_pos, ob)
-    lowers = lower_flat[si]
     latents = jnp.where(valid, lowers + offs, const_lower)
     flat = latents.reshape(-1)
     return jnp.concatenate([flat, jnp.full(_PAD_TAIL, const_lower, jnp.uint64)])
@@ -498,16 +538,22 @@ def decode_group_kernel(
 ):
     nt = _NT_BY_NAME[schema.nt_name]
 
+    seg32 = _overlapping_u32(segs)
+    seg64 = _overlapping_u64(segs) if schema.max_ob > 25 else seg32
+
     scan = jax.vmap(
-        lambda seg, sb, to, bn, ist: _ans_scan_single(
-            seg, node_flat, sb, to, bn, ist, schema.n_batches
+        lambda s32, sb, to, bn, ist: _ans_scan_single(
+            s32, node_flat, sb, to, bn, ist, schema.n_batches
         )
     )
-    state_idx, offsets_start = scan(segs, start_bits, table_offs, body_ns, init_states)
+    state_idx, ob, offsets_start = scan(seg32, start_bits, table_offs, body_ns, init_states)
 
-    def decode_one(seg, to, bn, si, os, mom, mscalar, dvals, clower):
+    def decode_one(s32, s64, to, bn, si, vob, os, mom, mscalar, dvals, clower):
         vlat = [
-            _var_latents(seg, node_flat, lower_flat, to[v], bn[v], si[:, v], os[:, v], clower[v])
+            _var_latents(
+                s32, s64, lower_flat, to[v], bn[v], si[:, v], vob[:, v], os[:, v],
+                clower[v], schema.max_ob,
+            )
             for v in range(N_VARS)
         ]
         primary, secondary = vlat[1], vlat[2]
@@ -518,8 +564,8 @@ def decode_group_kernel(
         return _join(nt, schema.mode_kind, mscalar, dvals, primary, secondary)
 
     return jax.vmap(decode_one)(
-        segs, table_offs, body_ns, state_idx, offsets_start, moments, mode_scalars,
-        dicts, const_lowers,
+        seg32, seg64, table_offs, body_ns, state_idx, ob, offsets_start, moments,
+        mode_scalars, dicts, const_lowers,
     )
 
 
@@ -577,6 +623,10 @@ def group_tasks(plan: DevicePlan):
             (0 if plan.tasks[ti].dict_vals is None else len(plan.tasks[ti].dict_vals))
             for ti in tis
         )
+        max_ob = 0
+        for ti in tis:
+            for _, vm in plan.tasks[ti].meta.per_latent_var.enumerated():
+                max_ob = max(max_ob, vm.bins.max_offset_bits())
         schema = TaskSchema(
             mode_kind=mode_kind,
             delta_kind=delta_kind,
@@ -587,6 +637,7 @@ def group_tasks(plan: DevicePlan):
             n_batches=n_batches,
             seg_bytes=seg_bytes,
             dict_len=dict_len,
+            max_ob=max_ob,
         )
         result.append((schema, tis))
     return result
