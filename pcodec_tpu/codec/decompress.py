@@ -88,6 +88,9 @@ class PageLatentDecompressor:
         if batch_n == 0:
             return
         assert batch_n <= c.FULL_BATCH_N
+        # never start a batch out of bounds (a corrupt previous batch may have
+        # overrun into the zero padding; the padding absorbs at most one batch)
+        reader.check_in_bounds()
         if cld.n_bins > 1:
             if _native is not None:
                 ans_end = _native.ans_decode(

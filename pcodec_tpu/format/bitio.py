@@ -16,7 +16,10 @@ try:
 except Exception:  # pragma: no cover - native build optional
     _native = None
 
-_PAD = 24  # trailing scratch so unaligned window loads never go OOB
+# Trailing zero scratch so window loads never go OOB: one corrupt batch can
+# legally scan up to 256 * 14 bits (448 bytes) past the end before the
+# per-batch bounds check raises InsufficientDataError.
+_PAD = 512
 
 
 class BitWriter:
@@ -185,6 +188,9 @@ class BitReader:
         read_offsets (ref: pco/src/page_latent_decompressor.rs:15-44).
         """
         byte_idx = (bit_pos >> 3).astype(np.int64)
+        # corrupt data can push positions past the padding; clamp (the caller's
+        # post-batch bounds check then raises InsufficientDataError)
+        np.clip(byte_idx, 0, self.size + _PAD - 16, out=byte_idx)
         shift = (bit_pos & 7).astype(np.uint64)
         n_bytes = min((7 + max_bits + 7) >> 3, 8)
         acc = np.zeros(byte_idx.shape, dtype=np.uint64)
