@@ -121,7 +121,8 @@ def main():
         plan.fallback_arrays[idx] if kind == "fallback" else task_outputs[idx]
         for kind, idx in plan.order_keys
     ]
-    decoded = np.concatenate(pieces)
+    from pcodec_tpu.utils import concat
+    decoded = concat(pieces)
     assert np.array_equal(decoded, nums), "decode mismatch!"
 
     gbps = raw_bytes / best / 1e9

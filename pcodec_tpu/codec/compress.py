@@ -40,7 +40,7 @@ from pcodec_tpu.format.metadata import (
     PerLatentVar,
 )
 from pcodec_tpu.modes import dict_mode, float_mult, float_quant, int_mult
-from pcodec_tpu.utils import calc_max_bytes
+from pcodec_tpu.utils import calc_max_bytes, concat
 
 PAGE_SIZE_OVERESTIMATION = 1.2
 N_PER_EXTRA_DELTA_GROUP = 10000
@@ -262,7 +262,7 @@ def delta_encode_and_build_page_infos(
 
     if delta_encoding.kind == DeltaEncoding.LOOKBACK:
         latents.delta = (
-            np.concatenate(delta_latents_parts)
+            concat(delta_latents_parts)
             if delta_latents_parts
             else np.zeros(0, dtype=np.uint32)
         )
@@ -398,7 +398,7 @@ def new_candidate(
             var_latents[p.per_latent_var.get(key).start : p.per_latent_var.get(key).end]
             for p in page_infos
         ]
-        contiguous = np.concatenate(parts) if parts else var_latents[:0]
+        contiguous = concat(parts) if parts else var_latents[:0]
         trained = train_infos(contiguous, ubl, lt)
         bins = bins_from_infos(trained.infos, lt)
         lvcs.set(key, LatentVarCompressor(trained, bins, var_latents))
@@ -425,7 +425,7 @@ def choose_delta_sample(primary: np.ndarray, group_size: int, n_extra_groups: in
         i += padding
         parts.append(primary[i : i + group_size])
         i += group_size
-    return np.concatenate(parts)
+    return concat(parts)
 
 
 def _compressed_sample_size(sample: np.ndarray, ubl: int, delta_encoding: DeltaEncoding, lt: LatentType) -> float:

@@ -14,7 +14,7 @@ from pcodec_tpu import constants as c
 from pcodec_tpu import delta as delta_mod
 from pcodec_tpu import modes
 from pcodec_tpu.dtypes import NumberType
-from pcodec_tpu.errors import CorruptionError
+from pcodec_tpu.errors import CorruptionError, InsufficientDataError
 from pcodec_tpu.format import ans
 from pcodec_tpu.format.bitio import BitReader
 from pcodec_tpu.format.metadata import (
@@ -223,6 +223,86 @@ class PageDecompressor:
         reader.check_in_bounds()
         if self.n_remaining == 0:
             reader.drain_empty_byte("expected trailing bits at end of page to be empty")
+
+    def read_page_fast(self, dst: np.ndarray) -> int:
+        """Decode the entire page in one native call + vectorized passes.
+
+        Requires the native kernels, a full untouched page, and dst of at
+        least n elements. Falls back to batch-wise read() otherwise.
+        """
+        if (
+            _native is None
+            or self.n_remaining != self.n
+            or len(dst) < self.n
+            or self.n == 0
+        ):
+            return self.read(dst)
+        n = self.n
+        reader = self.reader
+        specs = []
+        for key in ("delta", "primary", "secondary"):
+            cld = self.clds.get(key)
+            if cld is None:
+                continue
+            specs.append(
+                {
+                    "key": key,
+                    "cld": cld,
+                    "pld": self.plds.get(key),
+                    "state_n": cld.delta_encoding.n_latents_per_state(),
+                    "is_delta": key == "delta",
+                }
+            )
+        outs, counts, new_bit = _native.decode_page_pre_delta(reader, n, specs)
+        if new_bit < 0 or new_bit > 8 * reader.size:
+            raise InsufficientDataError("page body ran out of data")
+        reader.bit_idx = new_bit
+        reader.drain_empty_byte("expected trailing bits at end of page to be empty")
+
+        var_latents = {}
+        delta_latents = None
+        for spec, out_u64, count in zip(specs, outs, counts):
+            key = spec["key"]
+            cld = spec["cld"]
+            pld = spec["pld"]
+            L = cld.latent_type.np_dtype
+            de = cld.delta_encoding
+            count = int(count)
+            if de.kind == DeltaEncoding.NOOP:
+                vals = out_u64[:n].astype(L)
+                if count < n and cld.n_bins >= 1 and key != "delta":
+                    # positions past the body (none for noop vars) stay as-is
+                    pass
+            elif de.kind == DeltaEncoding.CONSECUTIVE:
+                work = np.zeros(n, dtype=L)
+                work[:count] = out_u64[:count].astype(L)
+                delta_mod.consecutive_decode_in_place(pld.delta_state, work)
+                vals = work
+            elif de.kind == DeltaEncoding.LOOKBACK:
+                deltas = delta_mod.toggle_center(out_u64[:count].astype(L))
+                state = pld.delta_state[
+                    de.window_n - de.state_n : de.window_n
+                ].astype(L)
+                vals = delta_mod.lookback_decode_page(
+                    de, delta_latents[: max(n - de.state_n, 0)], state, deltas, n
+                )
+            else:  # conv1
+                work = np.zeros(n, dtype=L)
+                work[:count] = out_u64[:count].astype(L)
+                delta_mod.conv1_decode_in_place(de, pld.delta_state, work)
+                vals = work
+            var_latents[key] = vals
+            if key == "delta":
+                delta_latents = vals
+
+        dst[: self.n] = modes.join_latents(
+            self.nt,
+            self.meta.mode,
+            var_latents["primary"],
+            var_latents.get("secondary"),
+        )
+        self.n_remaining = 0
+        return n
 
     def read(self, dst: np.ndarray) -> int:
         """Decompress min(len(dst), n_remaining) numbers into dst.

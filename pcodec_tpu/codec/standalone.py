@@ -15,6 +15,7 @@ from pcodec_tpu.errors import CorruptionError, InsufficientDataError
 from pcodec_tpu.format.bitio import BitReader, BitWriter
 from pcodec_tpu.format.metadata import ChunkMeta, FormatVersion
 from pcodec_tpu.codec.decompress import PageDecompressor
+from pcodec_tpu.utils import concat
 
 
 def _read_varint(reader: BitReader) -> int:
@@ -155,7 +156,7 @@ def simple_decompress(data: bytes, expected_dtype=None):
         meta = ChunkMeta.read_from(reader, fd.format_version, nt.latent)
         pd = PageDecompressor(reader, meta, nt, n)
         dst = np.zeros(n, dtype=nt.np_dtype)
-        pd.read(dst)
+        pd.read_page_fast(dst)
         out_chunks.append(dst)
     if nt_seen is None:
         nt_seen = number_type_from_np(expected_dtype) if expected_dtype is not None else None
@@ -166,4 +167,4 @@ def simple_decompress(data: bytes, expected_dtype=None):
         raise CorruptionError(
             f"file contains {out_chunks[0].dtype} but {expected_dtype} was requested"
         )
-    return np.concatenate(out_chunks), nt_seen
+    return concat(out_chunks), nt_seen

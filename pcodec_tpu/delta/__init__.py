@@ -127,6 +127,49 @@ def lookback_decode_in_place(
         raise CorruptionError("delta lookback exceeded window n")
 
 
+def lookback_decode_page(
+    encoding: DeltaEncoding,
+    lookbacks: np.ndarray,
+    state: np.ndarray,
+    deltas: np.ndarray,  # toggled-center deltas, length n - state_n (or less)
+    n: int,
+) -> np.ndarray:
+    """Whole-page lookback decode via global pointer doubling.
+
+    Page position p takes value add[p] + value[p - lb[p]]; positions below
+    the stored state read zeros (the reference's zero window prefill,
+    ref: delta/lookback.rs:205-211). Raises on out-of-window lookbacks.
+    """
+    state_n = encoding.state_n
+    window_n = encoding.window_n
+    real = min(n, state_n)
+    dtype = deltas.dtype if len(deltas) else state.dtype
+
+    add = np.zeros(n, dtype=dtype)
+    add[:real] = state[state_n - real :]
+    count = min(len(deltas), n - real)
+    add[real : real + count] = deltas[:count]
+
+    lb = np.ones(n, dtype=np.int64)
+    lb_src = lookbacks[: n - real].astype(np.int64)
+    oob = (lb_src > window_n).any()
+    lb_eff = np.where(lb_src > window_n, 1, lb_src)
+    lb[real : real + len(lb_eff)] = lb_eff
+
+    ptr = np.arange(n, dtype=np.int64) - lb
+    ptr[:real] = -1  # state values are terminal
+    # positions below -? read the zero prefill: terminal as well
+    active = ptr >= 0
+    while active.any():
+        j = np.where(active, ptr, 0)
+        add = np.where(active & (ptr >= 0), add + add[j], add)
+        ptr = np.where(active, ptr[j], ptr)
+        active = ptr >= 0
+    if oob:
+        raise CorruptionError("delta lookback exceeded window n")
+    return add
+
+
 # ---------------------------------------------------------------------------
 # conv1
 # ---------------------------------------------------------------------------

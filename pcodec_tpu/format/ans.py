@@ -33,11 +33,10 @@ def spread_state_symbols(size_log: int, symbol_weights) -> np.ndarray:
     res = np.zeros(table_size, dtype=np.uint32)
     stride = choose_stride(table_size)
     mask = table_size - 1
-    step = 0
-    for symbol, weight in enumerate(weights):
-        for _ in range(weight):
-            res[(stride * step) & mask] = symbol
-            step += 1
+    w = np.asarray(weights, dtype=np.int64)
+    symbols_by_step = np.repeat(np.arange(len(weights), dtype=np.uint32), w)
+    steps = np.arange(table_size, dtype=np.int64)
+    res[(stride * steps) & mask] = symbols_by_step
     return res
 
 
@@ -71,15 +70,22 @@ class Encoder:
         self.weights = list(spec.symbol_weights)
         self.min_renorm_bits = [0] * n_symbols
         self.renorm_bit_cutoff = [0] * n_symbols
-        # next_states[symbol][x_s - weight] for x_s in [weight, 2*weight)
-        self.next_states = [[] for _ in range(n_symbols)]
         for symbol, weight in enumerate(self.weights):
             max_x_s = 2 * weight - 1
             min_renorm = spec.size_log - (max_x_s.bit_length() - 1)
             self.min_renorm_bits[symbol] = min_renorm
             self.renorm_bit_cutoff[symbol] = 2 * weight * (1 << min_renorm)
-        for state_idx, symbol in enumerate(spec.state_symbols.tolist()):
-            self.next_states[symbol].append(table_size + state_idx)
+        # next_states[symbol][x_s - weight] = table_size + (index of the
+        # x_s'th occurrence of symbol in spread order); a stable argsort by
+        # symbol yields exactly those occurrence lists, vectorized
+        order = np.argsort(spec.state_symbols, kind="stable")
+        counts = np.bincount(spec.state_symbols, minlength=n_symbols).astype(np.int64)
+        ends = np.cumsum(counts)
+        begins = ends - counts
+        flat = (order + table_size).astype(np.int64)
+        self.next_states = [
+            flat[begins[s] : ends[s]].tolist() for s in range(n_symbols)
+        ]
 
     def default_state(self) -> int:
         return 1 << self.size_log
@@ -102,21 +108,31 @@ class Decoder:
 
     def __init__(self, spec: Spec, bin_offset_bits):
         table_size = spec.table_size
-        symbol_x_s = list(spec.symbol_weights)
-        n = table_size
-        self.next_state_idx_base = np.zeros(n, dtype=np.uint32)
-        self.bits_to_read = np.zeros(n, dtype=np.uint32)
-        self.offset_bits = np.zeros(n, dtype=np.uint32)
+        n_symbols = len(spec.symbol_weights)
         self.symbols = spec.state_symbols
-        offset_bits = list(bin_offset_bits)
-        for i, symbol in enumerate(spec.state_symbols.tolist()):
-            next_state_base = symbol_x_s[symbol]
-            bits = table_size.bit_length() - next_state_base.bit_length()
-            next_state_base <<= bits
-            self.next_state_idx_base[i] = next_state_base - table_size
-            self.bits_to_read[i] = bits
-            self.offset_bits[i] = offset_bits[symbol] if symbol < len(offset_bits) else 0
-            symbol_x_s[symbol] += 1
+        symbols = spec.state_symbols.astype(np.int64)
+
+        # x_s for state i = weight[s] + (occurrence index of s up to i);
+        # occurrence indices via stable argsort by symbol, vectorized
+        order = np.argsort(symbols, kind="stable")
+        counts = np.bincount(symbols, minlength=n_symbols).astype(np.int64)
+        begins = np.cumsum(counts) - counts
+        occ = np.zeros(table_size, dtype=np.int64)
+        occ[order] = np.arange(table_size, dtype=np.int64) - np.repeat(begins, counts)
+        weights = np.asarray(spec.symbol_weights, dtype=np.int64)
+        x_s = weights[symbols] + occ
+
+        # bits_to_read = size_log + 1 - bit_length(x_s); x_s <= 2^15 so the
+        # float log2 is exact
+        bl = np.where(
+            x_s == 0, 0, np.floor(np.log2(np.maximum(x_s, 1))).astype(np.int64) + 1
+        )
+        bits = table_size.bit_length() - bl
+        base = (x_s << bits) - table_size
+        self.next_state_idx_base = base.astype(np.uint32)
+        self.bits_to_read = bits.astype(np.uint32)
+        ob = np.asarray(list(bin_offset_bits) + [0], dtype=np.uint32)
+        self.offset_bits = ob[np.minimum(symbols, len(ob) - 1)].astype(np.uint32)
 
 
 def _round_half_away_f32(x: np.ndarray) -> np.ndarray:

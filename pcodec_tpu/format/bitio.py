@@ -16,10 +16,10 @@ try:
 except Exception:  # pragma: no cover - native build optional
     _native = None
 
-# Trailing zero scratch so window loads never go OOB: one corrupt batch can
-# legally scan up to 256 * 14 bits (448 bytes) past the end before the
-# per-batch bounds check raises InsufficientDataError.
-_PAD = 512
+# Trailing zero scratch so window loads never go OOB: one corrupt batch
+# section can scan up to 448 bytes of ANS reads plus 2048 bytes of offset
+# reads past the end before the bounds checks stop it.
+_PAD = 4096
 
 
 class BitWriter:

@@ -365,23 +365,39 @@ class ChunkLatentVarMeta:
             raise CorruptionError(
                 f"ANS size log ({ans_size_log}) should not be greater than {c.MAX_ANS_BITS}"
             )
-        weights = np.zeros(n_bins, dtype=np.uint32)
-        lowers = np.zeros(n_bins, dtype=latent_type.np_dtype)
-        offset_bits = np.zeros(n_bins, dtype=np.uint32)
         obb = latent_type.offset_bits_bits
-        for i in range(n_bins):
-            weights[i] = reader.read_uint(ans_size_log) + 1
-            lowers[i] = reader.read_uint(latent_type.bits)
-            ob = reader.read_uint(obb)
-            if ob > latent_type.bits:
-                reader.check_in_bounds()
-                raise CorruptionError(
-                    f"offset bits of {ob} exceeds type of {latent_type.bits} bits"
-                )
-            offset_bits[i] = ob
-            if i % 128 == 127:
-                reader.check_in_bounds()
+        bin_bits = ans_size_log + latent_type.bits + obb
+        base = reader.bit_idx
+        idx = np.arange(n_bins, dtype=np.int64)
+        starts = base + idx * bin_bits
+        # bins are fixed-width records; read each field with one vectorized
+        # gather instead of a per-bin loop
+        if ans_size_log > 0:
+            weights = (
+                reader.gather_batch(
+                    starts, np.full(n_bins, ans_size_log, dtype=np.int64), ans_size_log
+                ).astype(np.uint32)
+                + 1
+            )
+        else:
+            weights = np.ones(n_bins, dtype=np.uint32)
+        lowers = reader.gather_batch(
+            starts + ans_size_log,
+            np.full(n_bins, latent_type.bits, dtype=np.int64),
+            latent_type.bits,
+        ).astype(latent_type.np_dtype)
+        offset_bits = reader.gather_batch(
+            starts + ans_size_log + latent_type.bits,
+            np.full(n_bins, obb, dtype=np.int64),
+            obb,
+        ).astype(np.uint32)
+        reader.bit_idx = base + n_bins * bin_bits
         reader.check_in_bounds()
+        if n_bins and int(offset_bits.max()) > latent_type.bits:
+            bad = int(offset_bits[offset_bits > latent_type.bits][0])
+            raise CorruptionError(
+                f"offset bits of {bad} exceeds type of {latent_type.bits} bits"
+            )
         return cls(ans_size_log, Bins(latent_type, weights, lowers, offset_bits))
 
     def write_to(self, writer: BitWriter) -> None:

@@ -51,6 +51,14 @@ _lib.pco_write_bits.restype = None
 _lib.pco_write_bits.argtypes = [
     _u64p, _i64p, ctypes.c_longlong, ctypes.c_longlong, _u8p,
 ]
+_vpp = ctypes.POINTER(ctypes.c_void_p)
+_lib.pco_decode_page_pre_delta.restype = ctypes.c_longlong
+_lib.pco_decode_page_pre_delta.argtypes = [
+    _u8p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+    _vpp, _vpp, _u32p, _i64p, ctypes.c_longlong,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), _u64p, _i64p,
+    _vpp, _i64p,
+]
 
 
 def _ptr(arr, ctype):
@@ -137,6 +145,69 @@ def ans_encode_reverse(symbols: np.ndarray, ans_vals: np.ndarray, ans_bits: np.n
         _ptr(final_states, ctypes.c_uint32),
     )
     return final_states.tolist()
+
+
+def decode_page_pre_delta(reader, n: int, var_specs):
+    """Decode a whole page's pre-delta latents in one native call.
+
+    var_specs: list of dicts with keys cld (ChunkLatentDecompressor),
+    pld (PageLatentDecompressor), state_n, is_delta. Returns (latents u64
+    arrays per var, new bit index); raises on truncation via caller check.
+    """
+    n_vars = len(var_specs)
+    nodes_arr = (ctypes.c_void_p * n_vars)()
+    lowers_arr = (ctypes.c_void_p * n_vars)()
+    out_arr = (ctypes.c_void_p * n_vars)()
+    states = np.zeros(n_vars * 4, dtype=np.uint32)
+    var_state_n = np.zeros(n_vars, dtype=np.int64)
+    is_delta = (ctypes.c_int * n_vars)()
+    n_bins = (ctypes.c_int * n_vars)()
+    single_lower = np.zeros(n_vars, dtype=np.uint64)
+    single_ob = np.zeros(n_vars, dtype=np.int64)
+    out_counts = np.zeros(n_vars, dtype=np.int64)
+    outs = []
+    keepalive = []
+    for v, spec in enumerate(var_specs):
+        cld = spec["cld"]
+        node, lowers = _cld_native_tables(cld)
+        keepalive += [node, lowers]
+        nodes_arr[v] = ctypes.cast(_ptr(node, ctypes.c_int32), ctypes.c_void_p)
+        lowers_arr[v] = ctypes.cast(_ptr(lowers, ctypes.c_uint64), ctypes.c_void_p)
+        states[4 * v : 4 * v + 4] = spec["pld"].ans_state_idxs
+        var_state_n[v] = spec["state_n"]
+        is_delta[v] = 1 if spec["is_delta"] else 0
+        n_bins[v] = cld.n_bins
+        if cld.n_bins <= 1:
+            single_lower[v] = lowers[0] if len(lowers) else 0
+            single_ob[v] = cld.only_bin_offset_bits
+        out = np.zeros(n + 260, dtype=np.uint64)
+        outs.append(out)
+        out_arr[v] = ctypes.cast(_ptr(out, ctypes.c_uint64), ctypes.c_void_p)
+
+    primary_state_n = next(
+        spec["state_n"] for spec in var_specs if spec["key"] == "primary"
+    )
+    new_bit = _lib.pco_decode_page_pre_delta(
+        _ptr(reader.src, ctypes.c_uint8),
+        8 * reader.size,
+        reader.bit_idx,
+        n,
+        n_vars,
+        nodes_arr,
+        lowers_arr,
+        _ptr(states, ctypes.c_uint32),
+        _ptr(var_state_n, ctypes.c_int64),
+        primary_state_n,
+        is_delta,
+        n_bins,
+        _ptr(single_lower, ctypes.c_uint64),
+        _ptr(single_ob, ctypes.c_int64),
+        out_arr,
+        _ptr(out_counts, ctypes.c_int64),
+    )
+    for v, spec in enumerate(var_specs):
+        spec["pld"].ans_state_idxs = states[4 * v : 4 * v + 4].tolist()
+    return outs, out_counts, int(new_bit)
 
 
 def choose_lookbacks_native(window_n_log: int, state_n: int, latents: np.ndarray) -> np.ndarray:

@@ -252,4 +252,68 @@ void pco_choose_lookbacks(
   delete[] idx_hash;
 }
 
+// Decode an entire page's pre-delta latents for up to 3 interleaved latent
+// vars in one call (the per-batch var interleaving of the page body,
+// spec: docs/format.md "Page"). Outputs latent = bin.lower + offset per var.
+// Returns the final absolute bit index, or -1 if the reader overran
+// `size_bits` mid-way (truncated input).
+long long pco_decode_page_pre_delta(
+    const uint8_t* src,
+    long long size_bits,     // unpadded input size in bits
+    long long bit_idx,       // body start
+    long long n,             // numbers in page
+    int n_vars,              // 1..3 in file order (delta, primary, secondary)
+    const int32_t* const* nodes,       // per var packed node tables
+    const uint64_t* const* state_lowers,
+    uint32_t* states,        // n_vars * 4, in-out
+    const long long* var_state_n,      // per var n_latents_per_state
+    long long primary_state_n,         // delta-var batch limit uses this
+    const int* is_delta_var,           // per var: 1 if the delta latent var
+    const int* n_bins,                 // per var
+    const uint64_t* single_lower,      // per var: lower when n_bins <= 1
+    const int64_t* single_ob,          // per var: offset bits when n_bins == 1
+    uint64_t* const* out_latents,      // per var, capacity body_n (+pad 256)
+    long long* out_counts) {           // per var: latents written
+  long long n_remaining = n;
+  for (int v = 0; v < n_vars; v++) out_counts[v] = 0;
+
+  int64_t ob_scratch[256];
+  while (n_remaining > 0) {
+    long long batch_n = n_remaining < 256 ? n_remaining : 256;
+    for (int v = 0; v < n_vars; v++) {
+      // one corrupt section can scan <= 448 B of ANS + 2048 B of offsets
+      // past this point; the caller's buffer padding absorbs that, and we
+      // stop before compounding drift
+      if (bit_idx > size_bits) return -1;
+      long long limit;
+      if (is_delta_var[v]) {
+        long long avail = n_remaining - primary_state_n;
+        if (avail < 0) avail = 0;
+        limit = avail < batch_n ? avail : batch_n;
+      } else {
+        long long avail = n_remaining - var_state_n[v];
+        if (avail < 0) avail = 0;
+        limit = avail < 256 ? avail : 256;
+      }
+      if (limit == 0) continue;
+      uint64_t* dst = out_latents[v] + out_counts[v];
+      if (n_bins[v] > 1) {
+        bit_idx = pco_ans_decode_batch(
+            src, bit_idx, (int)limit, states + 4 * v, nodes[v],
+            state_lowers[v], dst, ob_scratch);
+      } else {
+        for (long long i = 0; i < limit; i++) {
+          dst[i] = single_lower[v];
+          ob_scratch[i] = single_ob[v];
+        }
+      }
+      pco_read_offsets_u64(src, bit_idx, (int)limit, ob_scratch, dst);
+      for (long long i = 0; i < limit; i++) bit_idx += ob_scratch[i];
+      out_counts[v] += limit;
+    }
+    n_remaining -= batch_n;
+  }
+  return bit_idx;
+}
+
 }  // extern "C"

@@ -118,38 +118,22 @@ class DevicePlan:
     def flat_tables(self):
         if not self.node_chunks:
             return np.zeros(1, np.int32), np.zeros(1, np.uint64)
-        return np.concatenate(self.node_chunks), np.concatenate(self.lower_chunks)
+        from pcodec_tpu.utils import concat
+        return concat(self.node_chunks), concat(self.lower_chunks)
 
 
-def _walk_page_body(reader: BitReader, meta: ChunkMeta, page_meta: PageMeta, n: int):
-    """Advance the host reader past one page body (ANS-length walk)."""
-    from pcodec_tpu.codec.decompress import ChunkLatentDecompressor, PageLatentDecompressor
-    from pcodec_tpu.format.metadata import PerLatentVar
+def _walk_page_body(reader: BitReader, meta: ChunkMeta, nt, page_start_bit: int, n: int):
+    """Advance the host reader past one page (meta + body).
 
-    clds, plds = PerLatentVar(), PerLatentVar()
-    for key, var_meta in meta.per_latent_var.enumerated():
-        de = meta.delta_encoding.for_latent_var(key)
-        cld = ChunkLatentDecompressor(var_meta, de)
-        clds.set(key, cld)
-        plds.set(key, PageLatentDecompressor(cld, page_meta.per_latent_var.get(key)))
-    primary_state_n = meta.delta_encoding.for_latent_var("primary").n_latents_per_state()
+    Uses the native whole-page decode when available; the result is
+    discarded — only the end position is needed to find the next chunk.
+    """
+    from pcodec_tpu.codec.decompress import PageDecompressor
 
-    n_remaining = n
-    while n_remaining > 0:
-        batch_n = min(c.FULL_BATCH_N, n_remaining)
-        if plds.delta is not None:
-            limit = min(max(0, n_remaining - primary_state_n), batch_n)
-            plds.delta.read_batch_pre_delta(reader, limit)
-        for key in ("primary", "secondary"):
-            pld = plds.get(key)
-            if pld is None:
-                continue
-            cld = clds.get(key)
-            state_n = cld.delta_encoding.n_latents_per_state()
-            pre_len = min(c.FULL_BATCH_N, max(0, n_remaining - state_n))
-            pld.read_batch_pre_delta(reader, pre_len)
-        n_remaining -= batch_n
-    reader.drain_empty_byte("expected trailing bits at end of page to be empty")
+    reader.bit_idx = page_start_bit
+    pd = PageDecompressor(reader, meta, nt, n)
+    scratch = np.zeros(n, dtype=nt.np_dtype)
+    pd.read_page_fast(scratch)
     return reader.bit_idx
 
 
@@ -220,7 +204,7 @@ def plan_standalone_file(data: bytes) -> DevicePlan:
             st = pvm.delta_state.astype(np.uint64)
             moments[vi, : len(st)] = st
 
-        end_bit = _walk_page_body(reader, meta, page_meta, n)
+        end_bit = _walk_page_body(reader, meta, nt, page_start_bit, n)
         seg_start = page_start_bit // 8
         seg_end = (end_bit + 7) // 8
         segment = raw[seg_start:seg_end].copy()
@@ -674,4 +658,5 @@ def decode_standalone_with_device(data: bytes, time_it: bool = False):
         pieces.append(plan.fallback_arrays[idx] if kind == "fallback" else task_outputs[idx])
     if not pieces:
         return np.zeros(0, dtype=np.float64), device_seconds
-    return np.concatenate(pieces), device_seconds
+    from pcodec_tpu.utils import concat
+    return concat(pieces), device_seconds

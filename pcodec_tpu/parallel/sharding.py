@@ -78,7 +78,8 @@ def sharded_decode_standalone(data: bytes, mesh: Mesh = None):
         pieces.append(plan.fallback_arrays[idx] if kind == "fallback" else task_outputs[idx])
     if not pieces:
         return np.zeros(0, dtype=np.float64)
-    return np.concatenate(pieces)
+    from pcodec_tpu.utils import concat
+    return concat(pieces)
 
 
 def sharded_roundtrip_step(mesh: Mesh, arrays, node_flat, lower_flat, schema: TaskSchema):
