@@ -6,7 +6,13 @@ serial host hot loops.
 """
 
 from pcodec_tpu.codec.chunk_config import ChunkConfig, DeltaSpec, ModeSpec, PagingSpec  # noqa: F401
-from pcodec_tpu.codec.standalone import simple_compress, simple_decompress  # noqa: F401
+from pcodec_tpu.codec.standalone import (  # noqa: F401
+    Progress,
+    simple_compress,
+    simple_decompress,
+    simple_decompress_into,
+)
+from pcodec_tpu.codec import guarantee, wrapped  # noqa: F401
 from pcodec_tpu.constants import FULL_BATCH_N  # noqa: F401
 from pcodec_tpu.errors import (  # noqa: F401
     CorruptionError,

@@ -1,0 +1,210 @@
+"""pcodec-tpu command line: compress / decompress / inspect / bench.
+
+Mirrors the reference CLI surface (ref: pco_cli/src/main.rs:20-28) with the
+same bench CSV schema
+(input,codec,compress_dt,decompress_dt,compressed_size,uncompressed_size;
+ref: docs/benchmark_results/*.csv).
+"""
+
+import argparse
+import csv
+import sys
+import time
+
+import numpy as np
+
+from pcodec_tpu import ChunkConfig, DeltaSpec, ModeSpec, PagingSpec
+from pcodec_tpu.codec.standalone import simple_compress, simple_decompress
+from pcodec_tpu.dtypes import NUMBER_TYPES_BY_NAME
+
+
+def load_input(path: str, dtype: str = None) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".csv") or path.endswith(".txt"):
+        return np.loadtxt(path, dtype=NUMBER_TYPES_BY_NAME[dtype].np_dtype if dtype else np.float64)
+    if dtype is None:
+        raise SystemExit("--dtype is required for raw binary inputs")
+    return np.fromfile(path, dtype=NUMBER_TYPES_BY_NAME[dtype].np_dtype)
+
+
+def build_config(args) -> ChunkConfig:
+    mode_spec = ModeSpec()
+    if args.mode:
+        if args.mode == "classic":
+            mode_spec = ModeSpec(ModeSpec.CLASSIC)
+        elif args.mode == "dict":
+            mode_spec = ModeSpec(ModeSpec.TRY_DICT)
+        elif args.mode.startswith("float-mult:"):
+            mode_spec = ModeSpec(ModeSpec.TRY_FLOAT_MULT, float(args.mode.split(":")[1]))
+        elif args.mode.startswith("float-quant:"):
+            mode_spec = ModeSpec(ModeSpec.TRY_FLOAT_QUANT, int(args.mode.split(":")[1]))
+        elif args.mode.startswith("int-mult:"):
+            mode_spec = ModeSpec(ModeSpec.TRY_INT_MULT, int(args.mode.split(":")[1]))
+        elif args.mode != "auto":
+            raise SystemExit(f"unknown mode {args.mode}")
+    delta_spec = DeltaSpec()
+    if args.delta:
+        if args.delta == "none":
+            delta_spec = DeltaSpec(DeltaSpec.NO_OP)
+        elif args.delta == "lookback":
+            delta_spec = DeltaSpec(DeltaSpec.TRY_LOOKBACK)
+        elif args.delta.startswith("consecutive:"):
+            delta_spec = DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, int(args.delta.split(":")[1]))
+        elif args.delta.startswith("conv1:"):
+            delta_spec = DeltaSpec(DeltaSpec.TRY_CONV1, int(args.delta.split(":")[1]))
+        elif args.delta != "auto":
+            raise SystemExit(f"unknown delta {args.delta}")
+    return ChunkConfig(
+        compression_level=args.level,
+        mode_spec=mode_spec,
+        delta_spec=delta_spec,
+        paging_spec=PagingSpec.equal_pages_up_to(args.chunk_n),
+        enable_8_bit=True,
+    )
+
+
+def cmd_compress(args):
+    nums = load_input(args.input, args.dtype)
+    config = build_config(args)
+    t0 = time.perf_counter()
+    data = simple_compress(nums, config)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(
+        f"compressed {nums.nbytes} -> {len(data)} bytes "
+        f"(ratio {nums.nbytes / len(data):.3f}) in {dt:.3f}s"
+    )
+
+
+def cmd_decompress(args):
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    if args.device:
+        from pcodec_tpu.ops.decode import decode_standalone_with_device
+
+        nums, _ = decode_standalone_with_device(data)
+    else:
+        nums, _ = simple_decompress(data)
+    dt = time.perf_counter() - t0
+    if args.output:
+        if args.output.endswith(".npy"):
+            np.save(args.output, nums)
+        elif args.output.endswith(".csv") or args.output.endswith(".txt"):
+            np.savetxt(args.output, nums, fmt="%s")
+        else:
+            nums.tofile(args.output)
+        print(f"decompressed {len(nums)} numbers ({nums.dtype}) in {dt:.3f}s")
+    else:
+        for x in nums[: args.limit]:
+            print(x)
+
+
+def cmd_inspect(args):
+    from pcodec_tpu.inspect_mod import format_report, inspect_file
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    print(format_report(inspect_file(data), verbose=args.verbose))
+
+
+def cmd_bench(args):
+    if args.input:
+        nums = load_input(args.input, args.dtype)
+        name = args.input
+    else:
+        rng = np.random.default_rng(0)
+        n = args.n
+        incs = rng.integers(0, 120, n) + (rng.random(n) < 0.001) * rng.integers(0, 10**6, n)
+        nums = np.cumsum(incs).astype(np.int64)
+        name = f"synthetic_i64_{n}"
+    config = build_config(args)
+
+    rows = []
+    compress_dts, decompress_dts = [], []
+    data = None
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        data = simple_compress(nums, config)
+        compress_dts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out, _ = simple_decompress(data)
+        decompress_dts.append(time.perf_counter() - t0)
+        if not args.no_assertions:
+            if nums.dtype.kind == "f":
+                w = {2: np.uint16, 4: np.uint32, 8: np.uint64}[nums.dtype.itemsize]
+                assert np.array_equal(out.view(w), nums.view(w))
+            else:
+                assert np.array_equal(out, nums)
+    compress_dt = float(np.median(compress_dts))
+    decompress_dt = float(np.median(decompress_dts))
+    rows.append(
+        {
+            "input": name,
+            "codec": "pco_tpu",
+            "compress_dt": compress_dt,
+            "decompress_dt": decompress_dt,
+            "compressed_size": len(data),
+            "uncompressed_size": nums.nbytes,
+        }
+    )
+    print(
+        f"{name}: ratio {nums.nbytes / len(data):.3f}, compress "
+        f"{nums.nbytes / compress_dt / 1e9:.3f} GB/s, decompress "
+        f"{nums.nbytes / decompress_dt / 1e9:.3f} GB/s"
+    )
+    if args.csv:
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pcodec-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--level", type=int, default=8)
+        sp.add_argument("--mode", default=None,
+                        help="auto|classic|dict|int-mult:B|float-mult:B|float-quant:K")
+        sp.add_argument("--delta", default=None,
+                        help="auto|none|consecutive:K|lookback|conv1:K")
+        sp.add_argument("--chunk-n", type=int, default=1 << 18)
+        sp.add_argument("--dtype", default=None, help="i32/i64/u32/u64/f32/f64/...")
+
+    sp = sub.add_parser("compress", help="compress a column of numbers to .pco")
+    common(sp)
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_compress)
+
+    sp = sub.add_parser("decompress", help="decompress a .pco file")
+    sp.add_argument("input")
+    sp.add_argument("output", nargs="?")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--device", action="store_true", help="use the TPU decode path")
+    sp.set_defaults(fn=cmd_decompress)
+
+    sp = sub.add_parser("inspect", help="dump .pco file structure")
+    sp.add_argument("input")
+    sp.add_argument("-v", "--verbose", action="store_true")
+    sp.set_defaults(fn=cmd_inspect)
+
+    sp = sub.add_parser("bench", help="codec benchmark (median of iters)")
+    common(sp)
+    sp.add_argument("--input", default=None)
+    sp.add_argument("--n", type=int, default=1 << 20)
+    sp.add_argument("--iters", type=int, default=3)
+    sp.add_argument("--csv", default=None)
+    sp.add_argument("--no-assertions", action="store_true")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

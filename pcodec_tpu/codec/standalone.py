@@ -137,6 +137,54 @@ def simple_compress(nums: np.ndarray, config=None, uniform_type: bool = False) -
     return writer.to_bytes()
 
 
+@dataclass
+class Progress:
+    """Decompression progress (ref: pco/src/progress.rs:3-12)."""
+
+    n_processed: int = 0
+    finished: bool = False
+
+
+def simple_decompress_into(data: bytes, dst: np.ndarray) -> Progress:
+    """Decompress into a preallocated array; returns Progress.
+
+    Like the reference (ref: standalone/simple.rs:100-146), does not error if
+    dst is shorter or longer than the file's contents.
+    """
+    reader = BitReader(data)
+    fd = FileDecompressor.new(reader)
+    progress = Progress()
+    pos = 0
+    while True:
+        pre = fd.chunk_preamble(reader)
+        if pre is None:
+            progress.finished = True
+            break
+        nt, n = pre
+        meta = ChunkMeta.read_from(reader, fd.format_version, nt.latent)
+        pd = PageDecompressor(reader, meta, nt, n)
+        chunk = np.zeros(n, dtype=nt.np_dtype)
+        pd.read_page_fast(chunk)
+        take = min(n, len(dst) - pos)
+        dst[pos : pos + take] = chunk[:take]
+        pos += take
+        progress.n_processed = pos
+        if pos >= len(dst):
+            progress.finished = pos >= len(dst) and n == take and _at_end(fd, reader)
+            break
+    return progress
+
+
+def _at_end(fd: FileDecompressor, reader: BitReader) -> bool:
+    save = reader.bit_idx
+    try:
+        return fd.chunk_preamble(reader) is None
+    except Exception:
+        return False
+    finally:
+        reader.bit_idx = save
+
+
 def simple_decompress(data: bytes, expected_dtype=None):
     """Decompress an entire standalone file into a numpy array.
 

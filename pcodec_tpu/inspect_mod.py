@@ -1,0 +1,164 @@
+"""File inspection: parse a .pco file and report structure + size breakdown.
+
+The observability surface of the codec (ref: pco_cli/src/inspect/handler.rs
+and pco/src/describers.rs): per-chunk mode, delta encoding, per-latent-var
+ANS/bin statistics, and byte-level size accounting.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from pcodec_tpu.codec.decompress import PageDecompressor
+from pcodec_tpu.codec.standalone import FileDecompressor
+from pcodec_tpu.format.bitio import BitReader
+from pcodec_tpu.format.metadata import ChunkMeta, DeltaEncoding, Mode
+
+
+def describe_latent_var(meta: ChunkMeta, key: str, nt) -> str:
+    """Human-readable interpretation of a latent var (ref: describers.rs)."""
+    mode = meta.mode
+    if key == "delta":
+        return "lookback"
+    if mode.kind == Mode.CLASSIC:
+        return "value ULPs" if nt.kind == "float" and meta.delta_encoding.kind != "noop" else "value"
+    if mode.kind == Mode.DICT:
+        return "dictionary index"
+    if mode.kind == Mode.INT_MULT:
+        return f"multiplier (base {mode.payload})" if key == "primary" else "adjustment"
+    if mode.kind == Mode.FLOAT_MULT:
+        base = nt.from_latent_ordered(np.array([mode.payload], dtype=nt.latent.np_dtype))[0]
+        return f"multiplier (base {base})" if key == "primary" else "ULPs adjustment"
+    if mode.kind == Mode.FLOAT_QUANT:
+        return f"quantums (k={mode.payload})" if key == "primary" else "ULPs adjustment"
+    return key
+
+
+@dataclass
+class LatentVarReport:
+    key: str
+    description: str
+    ans_size_log: int
+    n_bins: int
+    avg_bits_per_latent: float
+
+
+@dataclass
+class ChunkReport:
+    idx: int
+    dtype: str
+    n: int
+    mode: str
+    delta_encoding: str
+    meta_bytes: int
+    page_bytes: int
+    latent_vars: List[LatentVarReport] = field(default_factory=list)
+
+
+@dataclass
+class FileReport:
+    n_chunks: int = 0
+    total_n: int = 0
+    total_bytes: int = 0
+    header_bytes: int = 0
+    meta_bytes: int = 0
+    page_bytes: int = 0
+    footer_bytes: int = 1
+    uncompressed_bytes: int = 0
+    chunks: List[ChunkReport] = field(default_factory=list)
+
+    @property
+    def ratio(self) -> float:
+        return self.uncompressed_bytes / self.total_bytes if self.total_bytes else 0.0
+
+
+def describe_delta(de: DeltaEncoding) -> str:
+    if de.kind == DeltaEncoding.NOOP:
+        return "none"
+    if de.kind == DeltaEncoding.CONSECUTIVE:
+        return f"consecutive order {de.order}" + (
+            " (secondary too)" if de.secondary_uses_delta else ""
+        )
+    if de.kind == DeltaEncoding.LOOKBACK:
+        return f"lookback window 2^{de.window_n_log}, state 2^{de.state_n_log}"
+    return f"conv1 order {len(de.weights)} quantization {de.quantization}"
+
+
+def inspect_file(data: bytes) -> FileReport:
+    reader = BitReader(data)
+    fd = FileDecompressor.new(reader)
+    report = FileReport(total_bytes=len(data), header_bytes=reader.bit_idx // 8)
+    idx = 0
+    while True:
+        chunk_start = reader.bit_idx // 8
+        pre = fd.chunk_preamble(reader)
+        if pre is None:
+            break
+        nt, n = pre
+        meta_start = reader.bit_idx // 8
+        meta = ChunkMeta.read_from(reader, fd.format_version, nt.latent)
+        meta_end = reader.bit_idx // 8
+        pd = PageDecompressor(reader, meta, nt, n)
+        scratch = np.zeros(n, dtype=nt.np_dtype)
+        pd.read_page_fast(scratch)
+        page_end = reader.bit_idx // 8
+
+        cr = ChunkReport(
+            idx=idx,
+            dtype=nt.name,
+            n=n,
+            mode=meta.mode.kind,
+            delta_encoding=describe_delta(meta.delta_encoding),
+            meta_bytes=meta_end - chunk_start,
+            page_bytes=page_end - meta_end,
+        )
+        for key, vm in meta.per_latent_var.enumerated():
+            cr.latent_vars.append(
+                LatentVarReport(
+                    key=key,
+                    description=describe_latent_var(meta, key, nt),
+                    ans_size_log=vm.ans_size_log,
+                    n_bins=len(vm.bins),
+                    avg_bits_per_latent=vm.bins.avg_bits_per_latent(vm.ans_size_log)
+                    if len(vm.bins)
+                    else 0.0,
+                )
+            )
+        report.chunks.append(cr)
+        report.meta_bytes += cr.meta_bytes
+        report.page_bytes += cr.page_bytes
+        report.total_n += n
+        report.uncompressed_bytes += n * nt.np_dtype.itemsize
+        idx += 1
+    report.n_chunks = idx
+    return report
+
+
+def format_report(report: FileReport, verbose: bool = False) -> str:
+    lines = []
+    lines.append(
+        f"{report.n_chunks} chunks, {report.total_n} numbers, "
+        f"{report.total_bytes} bytes (ratio {report.ratio:.3f}, "
+        f"{8 * report.total_bytes / max(report.total_n, 1):.3f} bits/num)"
+    )
+    lines.append(
+        f"size breakdown: header {report.header_bytes} B, chunk metas "
+        f"{report.meta_bytes} B, pages {report.page_bytes} B, footer "
+        f"{report.footer_bytes} B"
+    )
+    for cr in report.chunks if verbose else report.chunks[:5]:
+        lines.append(
+            f"chunk {cr.idx}: {cr.dtype} n={cr.n} mode={cr.mode} "
+            f"delta=[{cr.delta_encoding}] meta={cr.meta_bytes}B page={cr.page_bytes}B"
+        )
+        for lv in cr.latent_vars:
+            lines.append(
+                f"  {lv.key} ({lv.description}): {lv.n_bins} bins, "
+                f"ans_size_log={lv.ans_size_log}, "
+                f"~{lv.avg_bits_per_latent:.2f} bits/latent"
+            )
+    if not verbose and report.n_chunks > 5:
+        lines.append(f"... and {report.n_chunks - 5} more chunks (use -v)")
+    return "\n".join(lines)
