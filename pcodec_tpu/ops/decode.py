@@ -67,6 +67,7 @@ class TaskSchema:
     seg_bytes: int
     dict_len: int
     max_ob: int = 64  # max offset bits across the group (shrinks the window)
+    lookback_state_n: int = 0
 
 
 @dataclass
@@ -79,7 +80,9 @@ class Task:
     var_table_off: np.ndarray  # (3,)
     var_body_n: np.ndarray  # (3,)
     init_state_idxs: np.ndarray  # (3, 4)
-    moments: np.ndarray  # (3, 8) uint64
+    moments: np.ndarray  # (3, 32) uint64 (delta state: consecutive moments /
+    #   lookback stored state / conv1 initial latents)
+    aux: np.ndarray  # (36,) int64: [window_n, conv1_quant, conv1_bias, conv1_weights...]
     mode_scalar: int
     dict_vals: Optional[np.ndarray]
 
@@ -166,10 +169,12 @@ def plan_standalone_file(data: bytes) -> DevicePlan:
         meta = ChunkMeta.read_from(reader, fd.format_version, nt.latent)
         page_start_bit = reader.bit_idx
 
-        supported = meta.delta_encoding.kind in (
+        de = meta.delta_encoding
+        supported = de.kind in (
             DeltaEncoding.NOOP,
             DeltaEncoding.CONSECUTIVE,
-        )
+            DeltaEncoding.CONV1,
+        ) or (de.kind == DeltaEncoding.LOOKBACK and de.state_n <= 32 and n > de.state_n)
         if not supported:
             pd = PageDecompressor(reader, meta, nt, n)
             dst = np.zeros(n, dtype=nt.np_dtype)
@@ -184,7 +189,14 @@ def plan_standalone_file(data: bytes) -> DevicePlan:
         var_off = np.full(N_VARS, noop_off, dtype=np.int32)
         var_body = np.zeros(N_VARS, dtype=np.int32)
         init_idxs = np.zeros((N_VARS, 4), dtype=np.int32)
-        moments = np.zeros((N_VARS, 8), dtype=np.uint64)
+        moments = np.zeros((N_VARS, 32), dtype=np.uint64)
+        aux = np.zeros(36, dtype=np.int64)
+        if de.kind == DeltaEncoding.LOOKBACK:
+            aux[0] = de.window_n
+        elif de.kind == DeltaEncoding.CONV1:
+            aux[1] = de.quantization
+            aux[2] = de.bias
+            aux[3 : 3 + len(de.weights)] = np.array(de.weights, dtype=np.int64)
         for vi, key in enumerate(("delta", "primary", "secondary")):
             var_meta = meta.per_latent_var.get(key)
             if var_meta is None:
@@ -230,6 +242,7 @@ def plan_standalone_file(data: bytes) -> DevicePlan:
                 moments=moments,
                 mode_scalar=mode_scalar,
                 dict_vals=dict_vals,
+                aux=aux,
             )
         )
     return plan
@@ -390,6 +403,69 @@ def _consecutive_decode(latents, moments, order, latent_bits):
     return out
 
 
+def _lookback_decode(latents, lookbacks, stored_state, window_n, state_n, latent_bits):
+    """Whole-page lookback decode via log-depth pointer doubling.
+
+    value[p] = delta[p] + value[p - lb[p]]; the first state_n positions are
+    the stored state, references before the page read the zero window
+    prefill (spec: docs/format.md Lookback; ref: delta/lookback.rs:200-246).
+    Out-of-window lookbacks are clamped to 1 (the host path raises; device
+    bit-exactness against the host is asserted for valid files).
+    """
+    P = latents.shape[0]
+    mid = jnp.uint64(1 << (latent_bits - 1))
+    deltas = latents + mid  # toggle center
+    pos = jnp.arange(P, dtype=jnp.int64)
+    in_state = pos < state_n
+    add = jnp.where(
+        in_state,
+        stored_state[jnp.minimum(pos, 31)],
+        deltas[jnp.maximum(pos - state_n, 0)],
+    )
+    lb = lookbacks[jnp.maximum(pos - state_n, 0)].astype(jnp.int64)
+    lb = jnp.clip(lb, 1, window_n.astype(jnp.int64))
+    ptr = jnp.where(in_state, jnp.int64(-1), pos - lb)
+    rounds = max(P - 1, 1).bit_length()
+    for _ in range(rounds):
+        active = ptr >= 0
+        j = jnp.maximum(ptr, 0)
+        add = jnp.where(active, add + add[j], add)
+        ptr = jnp.where(active, ptr[j], ptr)
+    return add
+
+
+def _conv1_decode(latents, stored_state, aux, order, latent_bits):
+    """Serial LPC recurrence as a lax.scan with the rolling window in carry.
+
+    value[p] = delta[p] + ((bias + Σ w_j * value[p-order+j]) >> q), arithmetic
+    in signed 64-bit (validated to fit; spec: docs/format.md Conv1).
+    """
+    quant = aux[1].astype(jnp.int64)
+    bias = aux[2].astype(jnp.int64)
+    weights = aux[3 : 3 + order].astype(jnp.int64)
+    mid = jnp.int64(1 << (latent_bits - 1))
+    mask = jnp.int64((1 << latent_bits) - 1)
+    window0 = stored_state[:order].astype(jnp.int64)
+
+    def step(window, delta):
+        s = bias + jnp.sum(weights * window)
+        pred = jnp.maximum(s, 0) >> quant
+        val = (delta.astype(jnp.int64) + mid + pred) & mask
+        new_window = jnp.concatenate([window[1:], val[None]])
+        return new_window, val
+
+    _, vals = jax.lax.scan(step, window0, latents)
+    # first `order` outputs are the stored state; the rest shift by `order`
+    P = latents.shape[0]
+    pos = jnp.arange(P, dtype=jnp.int64)
+    out = jnp.where(
+        pos < order,
+        stored_state[jnp.minimum(pos, 31)].astype(jnp.int64) & mask,
+        vals[jnp.maximum(pos - order, 0)],
+    )
+    return out.astype(jnp.uint64)
+
+
 # ---------------------------------------------------------------------------
 # mode joins (jnp mirrors of pcodec_tpu/modes.join_latents)
 # ---------------------------------------------------------------------------
@@ -518,7 +594,7 @@ def _join(nt: NumberType, mode_kind: str, mode_scalar, dict_vals, primary, secon
 @partial(jax.jit, static_argnames=("schema",))
 def decode_group_kernel(
     segs, start_bits, table_offs, body_ns, init_states, moments, mode_scalars,
-    dicts, const_lowers, node_flat, lower_flat, schema: TaskSchema,
+    dicts, const_lowers, auxs, node_flat, lower_flat, schema: TaskSchema,
 ):
     nt = _NT_BY_NAME[schema.nt_name]
 
@@ -532,7 +608,7 @@ def decode_group_kernel(
     )
     state_idx, ob, offsets_start = scan(seg32, start_bits, table_offs, body_ns, init_states)
 
-    def decode_one(s32, s64, to, bn, si, vob, os, mom, mscalar, dvals, clower):
+    def decode_one(s32, s64, to, bn, si, vob, os, mom, mscalar, dvals, clower, aux):
         vlat = [
             _var_latents(
                 s32, s64, lower_flat, to[v], bn[v], si[:, v], vob[:, v], os[:, v],
@@ -545,11 +621,22 @@ def decode_group_kernel(
             primary = _consecutive_decode(primary, mom[1], schema.delta_order, nt.latent.bits)
             if schema.secondary_uses_delta and schema.has_secondary:
                 secondary = _consecutive_decode(secondary, mom[2], schema.delta_order, nt.latent.bits)
+        elif schema.delta_kind == DeltaEncoding.LOOKBACK:
+            window_n = aux[0]
+            primary = _lookback_decode(
+                primary, vlat[0], mom[1], window_n, schema.lookback_state_n, nt.latent.bits
+            )
+            if schema.secondary_uses_delta and schema.has_secondary:
+                secondary = _lookback_decode(
+                    secondary, vlat[0], mom[2], window_n, schema.lookback_state_n, nt.latent.bits
+                )
+        elif schema.delta_kind == DeltaEncoding.CONV1:
+            primary = _conv1_decode(primary, mom[1], aux, schema.delta_order, nt.latent.bits)
         return _join(nt, schema.mode_kind, mscalar, dvals, primary, secondary)
 
     return jax.vmap(decode_one)(
         seg32, seg64, table_offs, body_ns, state_idx, ob, offsets_start, moments,
-        mode_scalars, dicts, const_lowers,
+        mode_scalars, dicts, const_lowers, auxs,
     )
 
 
@@ -560,7 +647,8 @@ def build_group_arrays(items: List[Task], schema: TaskSchema):
     table_offs = np.zeros((T, N_VARS), dtype=np.int32)
     body_ns = np.zeros((T, N_VARS), dtype=np.int32)
     init_states = np.zeros((T, N_VARS, 4), dtype=np.int32)
-    moments = np.zeros((T, N_VARS, 8), dtype=np.uint64)
+    moments = np.zeros((T, N_VARS, 32), dtype=np.uint64)
+    auxs = np.zeros((T, 36), dtype=np.int64)
     mode_scalars = np.zeros(T, dtype=np.uint64)
     dicts = np.zeros((T, max(schema.dict_len, 1)), dtype=np.uint64)
     const_lowers = np.zeros((T, N_VARS), dtype=np.uint64)
@@ -571,6 +659,7 @@ def build_group_arrays(items: List[Task], schema: TaskSchema):
         body_ns[i] = t.var_body_n
         init_states[i] = t.init_state_idxs
         moments[i] = t.moments
+        auxs[i] = t.aux
         mode_scalars[i] = t.mode_scalar
         if t.dict_vals is not None:
             dicts[i, : len(t.dict_vals)] = t.dict_vals
@@ -578,7 +667,7 @@ def build_group_arrays(items: List[Task], schema: TaskSchema):
             vm = t.meta.per_latent_var.get(key)
             if vm is not None and len(vm.bins) >= 1 and t.var_body_n[vi] == 0:
                 const_lowers[i, vi] = np.uint64(vm.bins.lowers[0])
-    return segs, start_bits, table_offs, body_ns, init_states, moments, mode_scalars, dicts, const_lowers
+    return segs, start_bits, table_offs, body_ns, init_states, moments, mode_scalars, dicts, const_lowers, auxs
 
 
 def group_tasks(plan: DevicePlan):
@@ -589,7 +678,8 @@ def group_tasks(plan: DevicePlan):
         key = (
             t.meta.mode.kind,
             de.kind,
-            de.order if de.kind == DeltaEncoding.CONSECUTIVE else 0,
+            de.order if de.kind in (DeltaEncoding.CONSECUTIVE, DeltaEncoding.CONV1) else 0,
+            de.state_n if de.kind == DeltaEncoding.LOOKBACK else 0,
             de.secondary_uses_delta,
             t.meta.per_latent_var.secondary is not None,
             t.nt.name,
@@ -598,7 +688,7 @@ def group_tasks(plan: DevicePlan):
 
     result = []
     for key, tis in raw_groups.items():
-        mode_kind, delta_kind, order, sud, has_sec, nt_name = key
+        mode_kind, delta_kind, order, lb_state_n, sud, has_sec, nt_name = key
         n_batches = max(
             max(1, -(-int(plan.tasks[ti].var_body_n.max()) // c.FULL_BATCH_N)) for ti in tis
         )
@@ -622,6 +712,7 @@ def group_tasks(plan: DevicePlan):
             seg_bytes=seg_bytes,
             dict_len=dict_len,
             max_ob=max_ob,
+            lookback_state_n=lb_state_n,
         )
         result.append((schema, tis))
     return result
