@@ -301,7 +301,11 @@ class ChunkCompressor:
     def write_meta(self, writer: BitWriter) -> None:
         self.meta.write_to(writer)
 
-    def write_page(self, page_idx: int, writer: BitWriter) -> None:
+    def write_page(self, page_idx: int, writer: BitWriter, sections_out=None) -> None:
+        """Writes one page. If `sections_out` is a list, appends one
+        (ans_bits_per_batch, off_bits_per_batch) int array pair per latent
+        var (file order) — the device-decode directory payload
+        (see codec/container.py)."""
         if page_idx >= len(self.page_infos):
             raise InvalidArgumentError(
                 f"page idx exceeds num pages ({page_idx} >= {len(self.page_infos)})"
@@ -328,7 +332,17 @@ class ChunkCompressor:
         PageMeta(page_var_metas).write_to(ans_size_logs, writer)
 
         page_n = page_info.page_n
+        n_batches = -(-page_n // c.FULL_BATCH_N)
+        if sections_out is not None:
+            section_arrays = {
+                key: (
+                    np.zeros(n_batches, dtype=np.int64),
+                    np.zeros(n_batches, dtype=np.int64),
+                )
+                for key, _ in self.lvcs.enumerated()
+            }
         batch_start = 0
+        batch_idx = 0
         while batch_start < page_n:
             batch_end = min(batch_start + c.FULL_BATCH_N, page_n)
             for key, lvc in self.lvcs.enumerated():
@@ -337,11 +351,21 @@ class ChunkCompressor:
                     continue
                 sl = slice(batch_start, batch_start + c.FULL_BATCH_N)
                 if lvc.needs_ans:
-                    writer.write_batch(d["ans_vals"][sl], d["ans_bits"][sl])
+                    ans_bits = d["ans_bits"][sl]
+                    writer.write_batch(d["ans_vals"][sl], ans_bits)
+                    if sections_out is not None:
+                        section_arrays[key][0][batch_idx] = int(ans_bits.sum())
                 if lvc.max_offset_bits > 0:
-                    writer.write_batch(d["offsets"][sl], d["offset_bits"][sl])
+                    off_bits = d["offset_bits"][sl]
+                    writer.write_batch(d["offsets"][sl], off_bits)
+                    if sections_out is not None:
+                        section_arrays[key][1][batch_idx] = int(off_bits.sum())
             batch_start = batch_end
+            batch_idx += 1
         writer.finish_byte()
+        if sections_out is not None:
+            for key, _ in self.lvcs.enumerated():
+                sections_out.append(section_arrays[key])
 
     def should_fallback(
         self, latent_type: LatentType, n: int, bin_counts: PerLatentVar

