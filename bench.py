@@ -45,7 +45,7 @@ def make_data():
 
 def get_compressed(nums):
     key = hashlib.sha256(nums[:1000].tobytes() + f"{len(nums)}-pct".encode()).hexdigest()[:16]
-    path = f"{CACHE}_{key}.pct"
+    path = f"{CACHE}_{key}_p2048.pct"
     if os.path.exists(path):
         with open(path, "rb") as f:
             return f.read(), 0.0

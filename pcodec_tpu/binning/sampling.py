@@ -10,6 +10,11 @@ import numpy as np
 from pcodec_tpu.constants import CLASSIC_MEMORIZABLE_BINS_LOG
 from pcodec_tpu.rng import Xoroshiro128PlusPlus
 
+try:
+    from pcodec_tpu.native import kernels as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 MIN_SAMPLE = 10
 SAMPLE_RATIO = 40
 SAMPLING_PERSISTENCE = 4
@@ -23,25 +28,40 @@ def calc_sample_n(n: int):
 
 
 def choose_sample_indices(n: int, keep_mask=None):
-    """Indices of the reference-identical sample, in draw order."""
+    """Indices of the reference-identical sample, in draw order.
+
+    Vectorized: the draw stream comes from the native Xoroshiro fill; the
+    visited-set semantics (skip repeat draws, accept first occurrences that
+    pass keep_mask, stop at target accepted or at the iteration limit) are
+    reproduced with an order-preserving first-occurrence mask."""
     target = calc_sample_n(n)
     if target is None:
         return None
-    rng = Xoroshiro128PlusPlus.seed_from_u64(0)
-    visited = bytearray((n + 7) // 8)
-    res = []
-    n_iters = 0
     limit = SAMPLING_PERSISTENCE * target
-    while len(res) < target and n_iters < limit:
-        idx = rng.next_u64() % n
-        byte, bit = idx >> 3, idx & 7
-        if not (visited[byte] >> bit) & 1:
-            if keep_mask is None or keep_mask[idx]:
-                res.append(idx)
-            visited[byte] |= 1 << bit
-        n_iters += 1
+    rng = Xoroshiro128PlusPlus.seed_from_u64(0)
+    if _native is not None:
+        draws = _native.xoroshiro_fill(rng.s0, rng.s1, limit) % np.uint64(n)
+    else:
+        draws = np.empty(limit, dtype=np.uint64)
+        for i in range(limit):
+            draws[i] = rng.next_u64()
+        draws %= np.uint64(n)
+    draws = draws.astype(np.int64)
+    # first occurrence of each index, in draw order
+    order = np.argsort(draws, kind="stable")
+    sorted_draws = draws[order]
+    is_first_sorted = np.empty(limit, dtype=bool)
+    is_first_sorted[0] = True
+    np.not_equal(sorted_draws[1:], sorted_draws[:-1], out=is_first_sorted[1:])
+    is_first = np.empty(limit, dtype=bool)
+    is_first[order] = is_first_sorted
+    accepted = is_first if keep_mask is None else (is_first & np.asarray(keep_mask)[draws])
+    # stop once `target` draws have been accepted
+    acc_count = np.cumsum(accepted)
+    cut = np.searchsorted(acc_count, target, side="left") + 1
+    res = draws[:cut][accepted[:cut]]
     if len(res) >= MIN_SAMPLE:
-        return np.array(res, dtype=np.int64)
+        return res
     return None
 
 

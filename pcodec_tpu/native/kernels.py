@@ -39,6 +39,16 @@ _lib.pco_ans_decode_batch.restype = ctypes.c_longlong
 _lib.pco_ans_decode_batch.argtypes = [
     _u8p, ctypes.c_longlong, ctypes.c_int, _u32p, _i32p, _u64p, _u64p, _i64p,
 ]
+_lib.pco_xoroshiro_fill.restype = None
+_lib.pco_xoroshiro_fill.argtypes = [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_longlong, _u64p]
+
+
+def xoroshiro_fill(s0: int, s1: int, count: int) -> np.ndarray:
+    out = np.empty(count, dtype=np.uint64)
+    _lib.pco_xoroshiro_fill(s0, s1, count, out.ctypes.data_as(_u64p))
+    return out
+
+
 _lib.pco_ans_encode_reverse.restype = None
 _lib.pco_ans_encode_reverse.argtypes = [
     _i64p, ctypes.c_longlong, _u32p, _u32p, _u32p, _i64p, _u32p, _u64p, _i64p, _u32p,

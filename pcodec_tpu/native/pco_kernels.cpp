@@ -110,6 +110,19 @@ void pco_read_offsets_u64(
 // Reverse-order 4-stream interleaved tANS encode of one page body.
 // next_states_flat: concatenated per-symbol next-state arrays;
 // next_off[s] is the start of symbol s's array; weights[s] its length.
+static inline uint64_t rotl64(uint64_t x, int k) { return (x << k) | (x >> (64 - k)); }
+
+// Xoroshiro128++ stream (rand_xoshiro semantics) for deterministic sampling
+// (ref: pco/src/sampling.rs:19-63 uses Xoroshiro128PlusPlus::seed_from_u64(0)).
+void pco_xoroshiro_fill(uint64_t s0, uint64_t s1, long long count, uint64_t* out) {
+  for (long long i = 0; i < count; i++) {
+    out[i] = rotl64(s0 + s1, 17) + s0;
+    s1 ^= s0;
+    s0 = rotl64(s0, 49) ^ s1 ^ (s1 << 21);
+    s1 = rotl64(s1, 28);
+  }
+}
+
 void pco_ans_encode_reverse(
     const int64_t* symbols,
     long long n,
