@@ -93,6 +93,32 @@ def main():
     assert cs == expect
 
     gbps = nums.nbytes / best / 1e9
+
+    # ---- encode kernels (device dissect + pack), page 1024 ----
+    import pcodec_tpu.ops.pallas_encode as pe
+
+    t0 = time.time()
+    nt, chunk_ns, ccs, chunk_jobs, groups = pe._plan_encode(nums, None, 1024, 1 << 20)
+    host_train_secs = time.time() - t0
+    enc_gbps = 0.0
+    if groups:
+        results, handles = pe._build_and_run_launches(groups)
+        (schema, run, dev_args), = handles
+
+        def enc_run(*a):
+            sections, fstates, al, ol, tb = pe._run_launch_device(schema, *a)
+            return (jnp.sum(sections, dtype=jnp.int32)
+                    + jnp.sum(fstates, dtype=jnp.int32)).reshape(1)
+
+        ef = jax.jit(enc_run)
+        int(ef(*dev_args)[0])
+        ebest = 9e9
+        for _ in range(6):
+            t0 = time.perf_counter()
+            int(ef(*dev_args)[0])
+            ebest = min(ebest, time.perf_counter() - t0)
+        enc_gbps = nums.nbytes / ebest / 1e9
+
     print(
         json.dumps(
             {
@@ -105,6 +131,8 @@ def main():
                     "ratio": round(ratio, 3),
                     "decode_ms": round(best * 1e3, 2),
                     "compress_secs_host": round(compress_secs, 2),
+                    "encode_kernels_gbps": round(enc_gbps, 3),
+                    "encode_host_train_secs": round(host_train_secs, 2),
                     "bit_exact_checksum": True,
                 },
             }

@@ -588,85 +588,12 @@ def _run_launch_device(schema: EncSchema, latlo, lathi, tables, bodyn, states0, 
     return sections, final_states, ans_len, off_len, total_bits
 
 
-def encode_container_device(nums, config=None, page_n: int = 1024,
-                            chunk_n: int = 1 << 20):
-    """Container encode with device dissection + bit packing.
 
-    Host: mode/delta selection, latent split + delta (numpy), bin training
-    (DP + weight quantization), metadata. Device (Pallas): binning, reverse
-    interleaved-tANS walk, bit packing. Produces bytes identical to
-    codec.container.container_compress for device-handled chunks.
-
-    Returns (data: bytes, stats: dict). Chunks the device path does not
-    cover (multi-latent-var modes, lookback/conv1 delta) go through the host
-    page writer.
-    """
-    import struct as _struct
-
-    from pcodec_tpu.codec.chunk_config import ChunkConfig, PagingSpec
-    from pcodec_tpu.codec import container as ctn
-    from pcodec_tpu.codec.compress import chunk_compressor
-    from pcodec_tpu.codec.wrapped import FileCompressor
-    from pcodec_tpu.dtypes import number_type_from_np
-    from pcodec_tpu.format.bitio import BitWriter
-    from pcodec_tpu.format.metadata import DeltaEncoding, PageLatentVarMeta, PageMeta, PerLatentVar
-    from pcodec_tpu.utils import concat
-
-    if page_n > 1024 or page_n % BATCH != 0:
-        raise ValueError("device encoder supports page_n in {256, 512, 1024}")
-    config = config or ChunkConfig()
-    nt = number_type_from_np(nums.dtype)
-    chunk_ns = ctn._exact_split(len(nums), chunk_n)
-
-    # ---- host training per chunk ----
-    ccs = []
-    start = 0
-    for cn in chunk_ns:
-        chunk_config = ChunkConfig(
-            compression_level=config.compression_level,
-            mode_spec=config.mode_spec,
-            delta_spec=config.delta_spec,
-            paging_spec=PagingSpec.exact_pages(ctn._exact_split(cn, page_n)),
-            enable_8_bit=config.enable_8_bit,
-        )
-        ccs.append(chunk_compressor(nt, nums[start : start + cn], chunk_config))
-        start += cn
-
-    # ---- plan device launches ----
-    groups = {}
-    chunk_jobs = []  # per chunk: ("device", job) | ("host", None)
-    for ci, cc in enumerate(ccs):
-        meta = cc.meta
-        de = meta.delta_encoding
-        lvc = cc.lvcs.primary
-        single_var = meta.per_latent_var.secondary is None and meta.per_latent_var.delta is None
-        dev_ok = (
-            single_var
-            and de.kind in (DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE)
-            and len(cc.page_infos) > 0
-            and not lvc.is_trivial
-        )
-        if dev_ok:
-            nexts, lowers, t1, t2, ts = build_enc_tables(meta.per_latent_var.primary)
-            b = len(lowers)
-            max_ob = int(lvc.max_offset_bits)
-            worst_bits = float(np.max(meta.per_latent_var.primary.bins.worst_case_bits_per_latent(lvc.ans_size_log))) if b else 0.0
-            sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
-            dev_ok = ts <= 4096 and b <= 2048 and sec_words <= 2048
-        if not dev_ok:
-            chunk_jobs.append(("host", None))
-            continue
-        ob_class = 0 if max_ob == 0 else (32 if max_ob <= 32 else 64)
-        key = (page_n, ob_class, max(sec_words, 128))
-        job = {
-            "ci": ci, "cc": cc, "tables": (nexts, lowers, t1, t2, ts),
-            "b": b, "max_ob": max_ob,
-        }
-        groups.setdefault(key, []).append(job)
-        chunk_jobs.append(("device", job))
-
-    # ---- build + run launches ----
-    results = {}  # ci -> per-chunk device outputs (numpy)
+def _build_and_run_launches(groups, jit_cache=None):
+    """Build device inputs per launch group and run EB+EC. Returns
+    {ci: outputs} plus per-launch (schema, device args, jitted fn)."""
+    results = {}
+    launch_handles = []
     for key, jobs in groups.items():
         pg, ob_class, sec_words = key
         ts_pad = max(128, 1 << int(np.ceil(np.log2(max(j["tables"][4] for j in jobs)))))
@@ -726,9 +653,10 @@ def encode_container_device(nums, config=None, page_n: int = 1024,
         states0 = _dense_quad_dev(jnp.asarray(states0_all))
 
         run = jax.jit(partial(_run_launch_device, schema))
-        sections, fstates, ans_len, off_len, total_bits = run(
-            latlo, lathi, jnp.asarray(tables.astype(np.int32)), bodyn, states0,
-            jnp.asarray(np.asarray(tbl_ids, dtype=np.int32)))
+        dev_args = (latlo, lathi, jnp.asarray(tables.astype(np.int32)), bodyn,
+                    states0, jnp.asarray(np.asarray(tbl_ids, dtype=np.int32)))
+        launch_handles.append((schema, run, dev_args))
+        sections, fstates, ans_len, off_len, total_bits = run(*dev_args)
 
         sec_np = np.asarray(sections)  # (T, 32, 8, SEC)
         fst_np = np.asarray(fstates)  # (T, 8, 128)
@@ -741,7 +669,7 @@ def encode_container_device(nums, config=None, page_n: int = 1024,
             idxs = np.arange(cs, cs + npg)
             t_i, g_i, s_i = idxs // 256, (idxs % 256) // 8, idxs % 8
             secs = sec_np[t_i, g_i, s_i]  # (npg, SEC)
-            states4 = fst_np[t_i, s_i][:, 4 * g_i[0] : 4 * g_i[0] + 4] if False else np.stack(
+            states4 = np.stack(
                 [fst_np[t_i, s_i, 4 * g_i + k] for k in range(4)], axis=1)
             results[j["ci"]] = {
                 "sections": secs,
@@ -750,6 +678,102 @@ def encode_container_device(nums, config=None, page_n: int = 1024,
                 "off_len": off_np[cs : cs + npg],
                 "total_bits": tb_np[cs : cs + npg],
             }
+    return results, launch_handles
+
+
+def _plan_encode(nums, config, page_n, chunk_n):
+    """Host training + device-launch grouping. Returns
+    (nt, chunk_ns, ccs, chunk_jobs, groups)."""
+    from pcodec_tpu.codec.chunk_config import ChunkConfig, PagingSpec
+    from pcodec_tpu.codec import container as ctn
+    from pcodec_tpu.codec.compress import chunk_compressor
+    from pcodec_tpu.dtypes import number_type_from_np
+    from pcodec_tpu.format.metadata import DeltaEncoding
+
+    if page_n > 1024 or page_n % BATCH != 0:
+        raise ValueError("device encoder supports page_n in {256, 512, 1024}")
+    config = config or ChunkConfig()
+    nt = number_type_from_np(nums.dtype)
+    chunk_ns = ctn._exact_split(len(nums), chunk_n)
+
+    # ---- host training per chunk ----
+    ccs = []
+    start = 0
+    for cn in chunk_ns:
+        chunk_config = ChunkConfig(
+            compression_level=config.compression_level,
+            mode_spec=config.mode_spec,
+            delta_spec=config.delta_spec,
+            paging_spec=PagingSpec.exact_pages(ctn._exact_split(cn, page_n)),
+            enable_8_bit=config.enable_8_bit,
+        )
+        ccs.append(chunk_compressor(nt, nums[start : start + cn], chunk_config))
+        start += cn
+
+    # ---- plan device launches ----
+    groups = {}
+    chunk_jobs = []  # per chunk: ("device", job) | ("host", None)
+    for ci, cc in enumerate(ccs):
+        meta = cc.meta
+        de = meta.delta_encoding
+        lvc = cc.lvcs.primary
+        single_var = meta.per_latent_var.secondary is None and meta.per_latent_var.delta is None
+        dev_ok = (
+            single_var
+            and de.kind in (DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE)
+            and len(cc.page_infos) > 0
+            and not lvc.is_trivial
+        )
+        if dev_ok:
+            nexts, lowers, t1, t2, ts = build_enc_tables(meta.per_latent_var.primary)
+            b = len(lowers)
+            max_ob = int(lvc.max_offset_bits)
+            worst_bits = float(np.max(meta.per_latent_var.primary.bins.worst_case_bits_per_latent(lvc.ans_size_log))) if b else 0.0
+            sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
+            dev_ok = ts <= 4096 and b <= 2048 and sec_words <= 2048
+        if not dev_ok:
+            chunk_jobs.append(("host", None))
+            continue
+        ob_class = 0 if max_ob == 0 else (32 if max_ob <= 32 else 64)
+        key = (page_n, ob_class, max(sec_words, 128))
+        job = {
+            "ci": ci, "cc": cc, "tables": (nexts, lowers, t1, t2, ts),
+            "b": b, "max_ob": max_ob,
+        }
+        groups.setdefault(key, []).append(job)
+        chunk_jobs.append(("device", job))
+
+    return nt, chunk_ns, ccs, chunk_jobs, groups
+
+
+def encode_container_device(nums, config=None, page_n: int = 1024,
+                            chunk_n: int = 1 << 20):
+    """Container encode with device dissection + bit packing.
+
+    Host: mode/delta selection, latent split + delta (numpy), bin training
+    (DP + weight quantization), metadata. Device (Pallas): binning, reverse
+    interleaved-tANS walk, bit packing. Produces bytes identical to
+    codec.container.container_compress for device-handled chunks.
+
+    Returns (data: bytes, stats: dict). Chunks the device path does not
+    cover (multi-latent-var modes, lookback/conv1 delta) go through the host
+    page writer.
+    """
+    import struct as _struct
+
+    from pcodec_tpu.codec.chunk_config import ChunkConfig, PagingSpec
+    from pcodec_tpu.codec import container as ctn
+    from pcodec_tpu.codec.compress import chunk_compressor
+    from pcodec_tpu.codec.wrapped import FileCompressor
+    from pcodec_tpu.dtypes import number_type_from_np
+    from pcodec_tpu.format.bitio import BitWriter
+    from pcodec_tpu.format.metadata import DeltaEncoding, PageLatentVarMeta, PageMeta, PerLatentVar
+    from pcodec_tpu.utils import concat
+
+    nt, chunk_ns, ccs, chunk_jobs, groups = _plan_encode(nums, config, page_n, chunk_n)
+
+    # ---- build + run launches ----
+    results, _ = _build_and_run_launches(groups)
 
     # ---- assemble the container file (host) ----
     fc = FileCompressor()

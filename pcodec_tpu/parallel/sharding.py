@@ -105,3 +105,69 @@ def sharded_roundtrip_step(mesh: Mesh, arrays, node_flat, lower_flat, schema: Ta
     )
     out, checksum = step(*args, schema=schema)
     return np.asarray(out)[:true_t], float(checksum)
+
+
+# ---------------------------------------------------------------------------
+# container path: shard Pallas decode tiles across the mesh (shard_map)
+# ---------------------------------------------------------------------------
+
+
+def sharded_container_decode_checksum(data: bytes, mesh: Mesh = None):
+    """Decode a PCT container with decode tiles sharded data-parallel across
+    the mesh, psum-reducing a checksum across devices (the collective rides
+    ICI). Chunk tables are replicated (KB-scale); compressed words are
+    replicated too (each device realigns only its own tiles' sections — on a
+    real pod the outer format would instead ship each host its byte ranges).
+
+    Returns (checksum_i32, n_chains). Single-launch containers only (the
+    common homogeneous case); use ops.pallas_decode directly otherwise.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    import pcodec_tpu.ops.pallas_decode as pd
+
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    plan = pd.plan_container(data)
+    assert len(plan.launches) == 1, "sharded demo expects one launch group"
+    (lkey, launch), = plan.launches.items()
+    schema = launch.schema
+
+    # pad tiles to a multiple of the mesh
+    n_tiles = launch.curs.shape[0]
+    pad = (-n_tiles) % nd
+    def padt(a):
+        if pad == 0:
+            return a
+        z = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+        return np.concatenate([a, z])
+    curs = padt(launch.curs)
+    states0 = padt(launch.states0)
+    bodyn = padt(launch.bodyn)
+    tbl_ids = padt(launch.tbl_ids)
+    starts = launch.starts_blk
+    spad = (-len(starts)) % (nd * 256)
+    starts = np.concatenate([starts, np.zeros(spad, starts.dtype)])
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def step(raw2d, starts_blk, curs, states0, bodyn, tbl_ids, tables):
+        sec = pd._realign(raw2d, starts_blk, schema.fetch_blocks)
+        outs = pd._decode_call(schema, sec, tables, curs, states0, bodyn, tbl_ids)
+        # psum over i32 (wrapping checksum): the backend only lowers plain
+        # 32-bit sum all-reduces
+        local = sum(jnp.sum(o, dtype=jnp.int32) for o in outs)
+        return jax.lax.psum(local.reshape(1), axis)
+
+    out = jax.jit(step)(
+        jnp.asarray(plan.raw2d), jnp.asarray(starts), jnp.asarray(curs),
+        jnp.asarray(states0), jnp.asarray(bodyn), jnp.asarray(tbl_ids),
+        jnp.asarray(launch.tables),
+    )
+    return int(np.asarray(out)[0]), launch.n_chains
