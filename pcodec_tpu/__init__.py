@@ -13,6 +13,11 @@ from pcodec_tpu.codec.standalone import (  # noqa: F401
     simple_decompress_into,
 )
 from pcodec_tpu.codec import guarantee, wrapped  # noqa: F401
+from pcodec_tpu.codec.container import (  # noqa: F401
+    container_compress,
+    container_decompress,
+    parse_container,
+)
 from pcodec_tpu.constants import FULL_BATCH_N  # noqa: F401
 from pcodec_tpu.errors import (  # noqa: F401
     CorruptionError,

@@ -68,7 +68,19 @@ def cmd_compress(args):
     nums = load_input(args.input, args.dtype)
     config = build_config(args)
     t0 = time.perf_counter()
-    data = simple_compress(nums, config)
+    if getattr(args, "format", "pco") == "pct":
+        if args.device:
+            from pcodec_tpu.ops.pallas_encode import encode_container_device
+
+            data, _ = encode_container_device(
+                nums, config, page_n=min(args.page_n, 1024), chunk_n=args.chunk_n)
+        else:
+            from pcodec_tpu.codec.container import container_compress
+
+            data = container_compress(
+                nums, config, page_n=args.page_n, chunk_n=args.chunk_n)
+    else:
+        data = simple_compress(nums, config)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(data)
@@ -82,7 +94,16 @@ def cmd_decompress(args):
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
-    if args.device:
+    if data[:4] == b"PCT1":
+        if args.device:
+            from pcodec_tpu.ops.pallas_decode import decode_container_device
+
+            nums, _, _ = decode_container_device(data)
+        else:
+            from pcodec_tpu.codec.container import container_decompress
+
+            nums = container_decompress(data)
+    elif args.device:
         from pcodec_tpu.ops.decode import decode_standalone_with_device
 
         nums, _ = decode_standalone_with_device(data)
@@ -175,10 +196,15 @@ def main(argv=None):
         sp.add_argument("--chunk-n", type=int, default=1 << 18)
         sp.add_argument("--dtype", default=None, help="i32/i64/u32/u64/f32/f64/...")
 
-    sp = sub.add_parser("compress", help="compress a column of numbers to .pco")
+    sp = sub.add_parser("compress", help="compress a column of numbers to .pco/.pct")
     common(sp)
     sp.add_argument("input")
     sp.add_argument("output")
+    sp.add_argument("--format", choices=("pco", "pct"), default="pco",
+                    help="pco = standalone; pct = container (TPU-decodable)")
+    sp.add_argument("--page-n", type=int, default=2048)
+    sp.add_argument("--device", action="store_true",
+                    help="pct only: dissect+pack on the TPU")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress", help="decompress a .pco file")
