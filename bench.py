@@ -45,7 +45,7 @@ def make_data():
 
 def get_compressed(nums):
     key = hashlib.sha256(nums[:1000].tobytes() + f"{len(nums)}-pct".encode()).hexdigest()[:16]
-    path = f"{CACHE}_{key}_p2048.pct"
+    path = f"{CACHE}_{key}_p1024.pct"
     if os.path.exists(path):
         with open(path, "rb") as f:
             return f.read(), 0.0
@@ -71,10 +71,13 @@ def main():
     plan = pd.plan_container(data)
     la = {"raw2d": jnp.asarray(plan.raw2d)}
     for lkey, launch in plan.launches.items():
-        la[repr(lkey)] = {
+        d = {
             k: jnp.asarray(getattr(launch, k))
             for k in ("starts_blk", "tables", "tbl_ids", "curs", "states0", "bodyn")
         }
+        if launch.moments is not None:
+            d["moments"] = jnp.asarray(launch.moments)
+        la[repr(lkey)] = d
 
     def run(args):
         res = pd._decode_plan_device(plan, args)

@@ -53,7 +53,7 @@ from pcodec_tpu.utils import concat
 MAGIC = b"PCT1"
 HEADER_FMT = "<4sBBHIQIQ"
 HEADER_BYTES = struct.calcsize(HEADER_FMT)
-DEFAULT_PAGE_N = 2048
+DEFAULT_PAGE_N = 1024
 DEFAULT_CHUNK_N = 1 << 20
 
 _NT_BY_BYTE = {t.type_byte: t for t in NUMBER_TYPES}

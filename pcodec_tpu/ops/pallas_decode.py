@@ -89,6 +89,8 @@ class LaunchSchema:
     lat32: bool  # all (lower - bias) + offset fit in u32 -> single out plane
     ts: int  # padded ANS table size (multiple of 128)
     page_n: int  # numbers per page (multiple of 256)
+    fuse: int = 0  # 0: emit latents; 1/2: fused delta-1 + classic join for
+    #               signed/unsigned 64-bit numbers (emits final memory bits)
 
     @property
     def fetch_rows(self):
@@ -207,7 +209,12 @@ def _decode_kernel_body(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
 
 
 def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_ref,
-                        states0_ref, bodyn_ref, *out_refs):
+                        states0_ref, bodyn_ref, *refs):
+    if schema.fuse:
+        mom_ref = refs[0]
+        out_refs = refs[1:]
+    else:
+        out_refs = refs
     ts_tiles = schema.ts // 128
     fr = schema.fetch_rows
     obc = schema.ob_class
@@ -279,6 +286,21 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
     bodyn = bodyn_ref[0]
     msb = jnp.int32(-0x80000000)
 
+    def ult(a, b):
+        return (a ^ msb) < (b ^ msb)
+
+    def pair_add(alo, ahi, blo, bhi):
+        lo = alo + blo
+        return lo, ahi + bhi + jnp.where(ult(lo, blo), 1, 0)
+
+    if schema.fuse:
+        # running exclusive-prefix accumulator for the order-1 delta cumsum:
+        # acc = moment + sum of all previous (latent + bias + 2^63)
+        acc_lo = mom_ref[0, 0]
+        acc_hi = mom_ref[0, 1]
+        biasc_lo = mom_ref[0, 2]
+        biasc_hi = mom_ref[0, 3]
+
     for b in range(schema.n_batches):
         anscur = curs_ref[0, 2 * b]
         offcur = curs_ref[0, 2 * b + 1]
@@ -290,7 +312,10 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
             WOFF = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
 
         def round_body(r, carry):
-            states, anscur, offcur, W4, woff = carry
+            if schema.fuse:
+                states, anscur, offcur, W4, woff, acc_lo, acc_hi = carry
+            else:
+                states, anscur, offcur, W4, woff = carry
             kpos = BATCH * b + 4 * r + jq
             valid = kpos < bodyn
 
@@ -350,33 +375,72 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
 
             # --- latent = lower + offset ---
             lat_lo = low_lo + off_lo
-            out_refs[0][0, ROUNDS_PER_BATCH * b + r] = lat_lo
             if not schema.lat32:
-                carry_bit = jnp.where((lat_lo ^ msb) < (off_lo ^ msb), 1, 0)
+                carry_bit = jnp.where(ult(lat_lo, off_lo), 1, 0)
                 lat_hi = low_hi + carry_bit
                 if obc > 32:
                     lat_hi = lat_hi + off_hi
-                out_refs[1][0, ROUNDS_PER_BATCH * b + r] = lat_hi
+            if schema.fuse:
+                # d = latent + bias + 2^63 (toggle center), masked to 0 when
+                # past the body so the running sum stays exact
+                if schema.lat32:
+                    d_lo, d_hi = pair_add(lat_lo, jnp.zeros((8, 128), jnp.int32),
+                                          biasc_lo, biasc_hi)
+                else:
+                    d_lo, d_hi = pair_add(lat_lo, lat_hi, biasc_lo, biasc_hi)
+                d_lo = jnp.where(valid, d_lo, 0)
+                d_hi = jnp.where(valid, d_hi, 0)
+                # within-quad inclusive prefix (Hillis-Steele over pairs)
+                p_lo, p_hi = d_lo, d_hi
+                for s in (1, 2):
+                    sl = jnp.where(jq >= s, pltpu.roll(p_lo, jnp.int32(s), axis=1), 0)
+                    sh = jnp.where(jq >= s, pltpu.roll(p_hi, jnp.int32(s), axis=1), 0)
+                    p_lo, p_hi = pair_add(p_lo, p_hi, sl, sh)
+                # exclusive: out_k = acc + prefix_{k-1}
+                e_lo = jnp.where(jq >= 1, pltpu.roll(p_lo, jnp.int32(1), axis=1), 0)
+                e_hi = jnp.where(jq >= 1, pltpu.roll(p_hi, jnp.int32(1), axis=1), 0)
+                o_lo, o_hi = pair_add(acc_lo, acc_hi, e_lo, e_hi)
+                # advance the accumulator by the quad totals
+                t_lo = jnp.take_along_axis(p_lo, lane_or3, axis=1)
+                t_hi = jnp.take_along_axis(p_hi, lane_or3, axis=1)
+                acc_lo, acc_hi = pair_add(acc_lo, acc_hi, t_lo, t_hi)
+                if schema.fuse == 1:  # signed: memory bits = value ^ 2^63
+                    o_hi = o_hi ^ msb
+                out_refs[0][0, ROUNDS_PER_BATCH * b + r] = o_lo
+                out_refs[1][0, ROUNDS_PER_BATCH * b + r] = o_hi
+            else:
+                out_refs[0][0, ROUNDS_PER_BATCH * b + r] = lat_lo
+                if not schema.lat32:
+                    out_refs[1][0, ROUNDS_PER_BATCH * b + r] = lat_hi
 
             # --- window refills for next round ---
             W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
             if obc:
                 woff = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
+            if schema.fuse:
+                return states, anscur, offcur, W4, woff, acc_lo, acc_hi
             return states, anscur, offcur, W4, woff
 
-        states, anscur, offcur, W4, WOFF = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(ROUNDS_PER_BATCH), round_body,
-            (states, anscur, offcur, W4, WOFF if obc else jnp.zeros((8, 128), jnp.int32)),
-        )
+        init = (states, anscur, offcur, W4,
+                WOFF if obc else jnp.zeros((8, 128), jnp.int32))
+        if schema.fuse:
+            init = init + (acc_lo, acc_hi)
+        carry_out = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(ROUNDS_PER_BATCH), round_body, init)
+        if schema.fuse:
+            states, anscur, offcur, W4, WOFF, acc_lo, acc_hi = carry_out
+        else:
+            states, anscur, offcur, W4, WOFF = carry_out
 
 
-def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_ids):
+def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_ids,
+                 moments=None):
     n_tiles = curs.shape[0]
     kernel = partial(_decode_kernel_body, schema)
     out_shapes = [jax.ShapeDtypeStruct((n_tiles, schema.rounds, 8, 128), jnp.int32)]
     out_specs = [pl.BlockSpec((1, schema.rounds, 8, 128),
                               lambda i, tid: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM)]
-    if not schema.lat32:
+    if not schema.lat32 or schema.fuse:
         out_shapes.append(out_shapes[0])
         out_specs.append(out_specs[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -391,15 +455,20 @@ def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_id
                          lambda i, tid: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i, tid: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i, tid: (i, jnp.int32(0), jnp.int32(0)), memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 4, 8, 128),
+                           lambda i, tid: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                           memory_space=pltpu.VMEM)] if schema.fuse else []),
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
     )
+    args = [tbl_ids, sec, tables, curs, states0, bodyn]
+    if schema.fuse:
+        args.append(moments)
     out = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tbl_ids, sec, tables, curs, states0, bodyn)
+    )(*args)
     return out if isinstance(out, tuple) else (out,)
 
 
@@ -442,6 +511,7 @@ class Launch:
     curs: np.ndarray  # (n_tiles, 2B, 8, 128) int32
     states0: np.ndarray  # (n_tiles, 8, 128) int32
     bodyn: np.ndarray  # (n_tiles, 8, 128) int32
+    moments: Optional[np.ndarray] = None  # (n_tiles, 4, 8, 128) int32 when fused
     n_chains: int = 0
 
 
@@ -640,7 +710,19 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             -(-int(page_ns.max(initial=BATCH)) // BATCH) * BATCH
         )
         for (key, vp, ob_class, fb, lat32, bias, node, lowers, ts_real) in launch_items:
-            lkey = (fb, ob_class, lat32, page_n_launch)
+            de_f = meta.delta_encoding
+            fuse = 0
+            if (
+                key == "primary"
+                and meta.mode.kind == Mode.CLASSIC
+                and de_f.kind == DeltaEncoding.CONSECUTIVE
+                and de_f.order == 1
+                and idx.nt.latent.bits == 64
+                and idx.nt.kind in ("signed", "unsigned")
+                and page_n_launch <= 1024  # two fused out planes: VMEM budget
+            ):
+                fuse = 1 if idx.nt.kind == "signed" else 2
+            lkey = (fb, ob_class, lat32, page_n_launch, fuse)
             grp = groups.setdefault(lkey, [])
             vp.launch_key = lkey
             vp.lat32 = lat32
@@ -657,6 +739,11 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             for b in range(max_b, B):
                 curs[:, 2 * b] = ans_starts[key][:, max_b - 1]
                 curs[:, 2 * b + 1] = off_starts[key][:, max_b - 1]
+            m0 = (
+                var_states[key][:, 0].astype(np.uint64)
+                if var_states[key].shape[1] > 0
+                else np.zeros(n_pages, dtype=np.uint64)
+            )
             grp.append({
                 "node": node,
                 "lowers": lowers,
@@ -669,6 +756,8 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
                 "curs_abs": curs,
                 "states0": init4,
                 "body_n": body_n,
+                "moment0": m0,
+                "fuse": fuse,
             })
         chunks.append(cp)
         page_cursor += n_pages
@@ -676,7 +765,7 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
     # ---- build launches ----
     launches: Dict[tuple, Launch] = {}
     for lkey, items in groups.items():
-        fb, ob_class, lat32, page_n_launch = lkey
+        fb, ob_class, lat32, page_n_launch, fuse = lkey
         ts = max(128, int(2 ** np.ceil(np.log2(max(it["ts_real"] for it in items)))))
         B = page_n_launch // BATCH
         n_tables = len(items)
@@ -702,6 +791,7 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
         curs_flat = np.zeros((n_chains, 2 * B), dtype=np.int64)
         states_flat = np.zeros((n_chains, 4), dtype=np.int64)
         bodyn_flat = np.zeros(n_chains, dtype=np.int64)
+        mom_flat = np.zeros((n_chains, 4), dtype=np.int64)
         pos = 0
         for cc in chain_chunks:
             it = cc["item"]
@@ -712,6 +802,13 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             curs_flat[pos : pos + np_] = it["curs_abs"] - blk_bit0[:, None]
             states_flat[pos : pos + np_] = it["states0"]
             bodyn_flat[pos : pos + np_] = it["body_n"]
+            if fuse:
+                m0 = it["moment0"]
+                biasc = np.uint64((it["bias"] + (1 << 63)) % (1 << 64))
+                mom_flat[pos : pos + np_, 0] = (m0 & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                mom_flat[pos : pos + np_, 1] = (m0 >> np.uint64(32)).astype(np.int64)
+                mom_flat[pos : pos + np_, 2] = int(biasc & np.uint64(0xFFFFFFFF))
+                mom_flat[pos : pos + np_, 3] = int(biasc >> np.uint64(32))
             pos += nt_
 
         curs = np.zeros((n_tiles, 2 * B, 8, 128), dtype=np.int32)
@@ -719,14 +816,20 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             curs[:, col] = _dense_quad(curs_flat[:, col].reshape(n_tiles, TILE_CHAINS))
         states0 = _dense_quad_streams(states_flat.reshape(n_tiles, TILE_CHAINS, 4))
         bodyn = _dense_quad(bodyn_flat.reshape(n_tiles, TILE_CHAINS))
+        moments = None
+        if fuse:
+            moments = np.zeros((n_tiles, 4, 8, 128), dtype=np.int32)
+            for col in range(4):
+                moments[:, col] = _dense_quad(mom_flat[:, col].reshape(n_tiles, TILE_CHAINS))
         launches[lkey] = Launch(
-            schema=LaunchSchema(fb, ob_class, lat32, ts, page_n_launch),
+            schema=LaunchSchema(fb, ob_class, lat32, ts, page_n_launch, fuse),
             tables=tables.astype(np.int32),
             tbl_ids=np.asarray(tbl_ids, dtype=np.int32),
             starts_blk=starts_blk,
             curs=curs,
             states0=states0,
             bodyn=bodyn,
+            moments=moments,
             n_chains=n_chains,
         )
 
@@ -751,6 +854,21 @@ def _latents_from_out(outs, schema: LaunchSchema, start: int, n_pages: int, bias
     if schema.lat32:
         return lo64 + jnp.uint64(bias)
     hi = chainsify(outs[1])[start : start + n_pages]
+    hi64 = jax.lax.bitcast_convert_type(hi, jnp.uint32).astype(jnp.uint64)
+    return lo64 | (hi64 << jnp.uint64(32))
+
+
+def _mem_from_fused_out(outs, schema: LaunchSchema, start: int, n_pages: int):
+    """Fused launches emit final memory bits as (lo, hi) planes."""
+    def chainsify(o):
+        T = o.shape[0]
+        x = o.reshape(T, schema.rounds, 8, 32, 4)
+        x = jnp.transpose(x, (0, 3, 2, 1, 4))
+        return x.reshape(T * TILE_CHAINS, schema.page_n)
+
+    lo = chainsify(outs[0])[start : start + n_pages]
+    hi = chainsify(outs[1])[start : start + n_pages]
+    lo64 = jax.lax.bitcast_convert_type(lo, jnp.uint32).astype(jnp.uint64)
     hi64 = jax.lax.bitcast_convert_type(hi, jnp.uint32).astype(jnp.uint64)
     return lo64 | (hi64 << jnp.uint64(32))
 
@@ -949,7 +1067,7 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
         sec = _realign(raw2d, la["starts_blk"], launch.schema.fetch_blocks)
         outs = _decode_call(
             launch.schema, sec, la["tables"], la["curs"], la["states0"],
-            la["bodyn"], la["tbl_ids"],
+            la["bodyn"], la["tbl_ids"], la.get("moments"),
         )
         outs_by_launch[lkey] = outs
 
@@ -975,6 +1093,13 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
                 lat = jnp.full((cp.n_pages, page_n_l), jnp.uint64(vp.const_lower), jnp.uint64)
             else:
                 launch = plan.launches[vp.launch_key]
+                if launch.schema.fuse:
+                    # kernel emitted final memory bits (delta + join fused)
+                    var_latents[key] = _mem_from_fused_out(
+                        outs_by_launch[vp.launch_key], launch.schema,
+                        vp.chain_start, cp.n_pages,
+                    )
+                    continue
                 lat = _latents_from_out(
                     outs_by_launch[vp.launch_key], launch.schema,
                     vp.chain_start, cp.n_pages, vp.bias,
@@ -984,13 +1109,21 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
             if key == "delta":
                 delta_latents = rec
 
-        dict_vals = jnp.asarray(cp.dict_vals) if cp.dict_vals is not None else None
-        prim = var_latents["primary"].reshape(-1)
-        sec_ = var_latents.get("secondary")
-        sec_ = sec_.reshape(-1) if sec_ is not None else None
-        nums = _join_mem(
-            nt, cp.meta.mode.kind, jnp.uint64(cp.mode_scalar), dict_vals, prim, sec_
+        fused = any(
+            vp2.launch_key is not None
+            and plan.launches[vp2.launch_key].schema.fuse
+            for vp2 in cp.var_plans.values()
         )
+        if fused:
+            nums = var_latents["primary"].reshape(-1)
+        else:
+            dict_vals = jnp.asarray(cp.dict_vals) if cp.dict_vals is not None else None
+            prim = var_latents["primary"].reshape(-1)
+            sec_ = var_latents.get("secondary")
+            sec_ = sec_.reshape(-1) if sec_ is not None else None
+            nums = _join_mem(
+                nt, cp.meta.mode.kind, jnp.uint64(cp.mode_scalar), dict_vals, prim, sec_
+            )
         # trim ragged final page: pages are page_n wide except the last
         page_w = var_latents["primary"].shape[1]
         full = cp.n_pages - 1
@@ -1010,7 +1143,7 @@ def decode_container_device(data: bytes, plan: Optional[DecodePlan] = None):
         plan = plan_container(data)
     launch_arrays = {"raw2d": jnp.asarray(plan.raw2d)}
     for lkey, launch in plan.launches.items():
-        launch_arrays[repr(lkey)] = {
+        la = {
             "starts_blk": jnp.asarray(launch.starts_blk),
             "tables": jnp.asarray(launch.tables),
             "tbl_ids": jnp.asarray(launch.tbl_ids),
@@ -1018,6 +1151,9 @@ def decode_container_device(data: bytes, plan: Optional[DecodePlan] = None):
             "states0": jnp.asarray(launch.states0),
             "bodyn": jnp.asarray(launch.bodyn),
         }
+        if launch.moments is not None:
+            la["moments"] = jnp.asarray(launch.moments)
+        launch_arrays[repr(lkey)] = la
 
     fn = jax.jit(lambda la: _decode_plan_device(plan, la))
     results = fn(launch_arrays)
