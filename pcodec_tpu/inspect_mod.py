@@ -86,7 +86,71 @@ def describe_delta(de: DeltaEncoding) -> str:
     return f"conv1 order {len(de.weights)} quantization {de.quantization}"
 
 
+def _fill_latent_vars(cr, meta, nt):
+    for key, vm in meta.per_latent_var.enumerated():
+        cr.latent_vars.append(
+            LatentVarReport(
+                key=key,
+                description=describe_latent_var(meta, key, nt),
+                ans_size_log=vm.ans_size_log,
+                n_bins=len(vm.bins),
+                avg_bits_per_latent=vm.bins.avg_bits_per_latent(vm.ans_size_log)
+                if len(vm.bins)
+                else 0.0,
+            )
+        )
+
+
+def inspect_container(data: bytes) -> FileReport:
+    """Inspect a PCT container: directory accounting + per-chunk reports
+    built from the embedded wrapped stream."""
+    from pcodec_tpu.codec.container import HEADER_BYTES, parse_container
+
+    cidx = parse_container(data)
+    report = FileReport(total_bytes=len(data), header_bytes=HEADER_BYTES)
+    # span from the container header to the first chunk meta covers the
+    # directory plus the embedded wrapped header
+    dir_bytes = (
+        int(cidx.chunk_meta_starts[0]) - HEADER_BYTES
+        if len(cidx.chunk_metas)
+        else len(data) - HEADER_BYTES
+    )
+    report.footer_bytes = 0
+    pages_by_chunk = {}
+    for p in cidx.pages:
+        pages_by_chunk.setdefault(p.chunk_idx, []).append(p)
+    for ci, meta in enumerate(cidx.chunk_metas):
+        n = int(cidx.chunk_ns[ci])
+        pages = pages_by_chunk.get(ci, [])
+        meta_nbytes = (
+            (pages[0].byte_start - int(cidx.chunk_meta_starts[ci]))
+            if pages else 0
+        )
+        page_nbytes = sum(p.byte_len for p in pages)
+        cr = ChunkReport(
+            idx=ci,
+            dtype=cidx.nt.name,
+            n=n,
+            mode=meta.mode.kind,
+            delta_encoding=describe_delta(meta.delta_encoding),
+            meta_bytes=meta_nbytes,
+            page_bytes=page_nbytes,
+        )
+        _fill_latent_vars(cr, meta, cidx.nt)
+        report.chunks.append(cr)
+        report.meta_bytes += meta_nbytes
+        report.page_bytes += page_nbytes
+        report.total_n += n
+        report.uncompressed_bytes += n * cidx.nt.np_dtype.itemsize
+    report.n_chunks = len(cidx.chunk_metas)
+    # count the directory as header overhead
+    report.header_bytes += dir_bytes
+    return report
+
+
 def inspect_file(data: bytes) -> FileReport:
+    if data[:4] == b"PCT1":
+        return inspect_container(data)
     reader = BitReader(data)
     fd = FileDecompressor.new(reader)
     report = FileReport(total_bytes=len(data), header_bytes=reader.bit_idx // 8)
@@ -114,18 +178,7 @@ def inspect_file(data: bytes) -> FileReport:
             meta_bytes=meta_end - chunk_start,
             page_bytes=page_end - meta_end,
         )
-        for key, vm in meta.per_latent_var.enumerated():
-            cr.latent_vars.append(
-                LatentVarReport(
-                    key=key,
-                    description=describe_latent_var(meta, key, nt),
-                    ans_size_log=vm.ans_size_log,
-                    n_bins=len(vm.bins),
-                    avg_bits_per_latent=vm.bins.avg_bits_per_latent(vm.ans_size_log)
-                    if len(vm.bins)
-                    else 0.0,
-                )
-            )
+        _fill_latent_vars(cr, meta, nt)
         report.chunks.append(cr)
         report.meta_bytes += cr.meta_bytes
         report.page_bytes += cr.page_bytes

@@ -37,3 +37,33 @@ def test_simple_decompress_into():
         take = min(n_dst, 600)
         np.testing.assert_array_equal(dst[:take], nums[:take])
         assert progress.n_processed == take
+
+
+def test_cli_inspect_container(tmp_path):
+    nums = np.cumsum(np.random.default_rng(1).integers(0, 50, 30000)).astype(np.int64)
+    inp = tmp_path / "in.npy"
+    out_pct = tmp_path / "out.pct"
+    np.save(inp, nums)
+    main(["compress", str(inp), str(out_pct), "--format", "pct", "--page-n", "2048"])
+    main(["inspect", str(out_pct), "--verbose"])
+
+
+def test_inspect_container_accounting(tmp_path):
+    from pcodec_tpu.codec.container import container_compress
+    from pcodec_tpu.inspect_mod import inspect_file
+
+    rng = np.random.default_rng(2)
+    nums = rng.integers(0, 1000, 60000).astype(np.uint32)
+    data = container_compress(nums, page_n=2048, chunk_n=25000)
+    rep = inspect_file(data)
+    assert rep.n_chunks == 3
+    assert rep.total_n == 60000
+    # every byte of the file is accounted for exactly
+    accounted = rep.header_bytes + rep.meta_bytes + rep.page_bytes + rep.footer_bytes
+    assert accounted == rep.total_bytes == len(data)
+    assert all(cr.latent_vars for cr in rep.chunks)
+
+    # empty container still inspectable
+    rep0 = inspect_file(container_compress(np.array([], dtype=np.int64)))
+    assert rep0.n_chunks == 0 and rep0.total_n == 0
+    assert rep0.header_bytes == rep0.total_bytes
