@@ -81,7 +81,9 @@ def main():
 
     def run(args):
         res = pd._decode_plan_device(plan, args)
-        return sum(jnp.sum(r, dtype=jnp.uint64) for r in res if r is not None).reshape(1)
+        return sum(
+            pd.result_checksum_u64(r) for r in res if r is not None
+        ).reshape(1)
 
     f = jax.jit(run)
     checksum = int(f(la)[0])  # compile + warm

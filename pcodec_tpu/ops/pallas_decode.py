@@ -105,8 +105,15 @@ class LaunchSchema:
         return self.page_n // c.ANS_INTERLEAVING
 
     @property
-    def off_words(self):  # per-chain offset window size in words (0/8/12)
-        return {0: 0, 30: 8, 64: 12}[self.ob_class]
+    def off_words(self):  # per-chain offset window size in words (0/12)
+        # 12 words = 384 bits covers TWO worst-case obc-30 rounds (31-bit
+        # start slack + 2x4x30 offset bits + final word reach), so that
+        # class refills the offset window only every other round
+        return {0: 0, 30: 12, 64: 12}[self.ob_class]
+
+    @property
+    def off_refill_period(self):  # rounds between offset-window refills
+        return 2 if self.ob_class == 30 else 1
 
     @property
     def mid_off_vregs(self):  # 128-word vregs in the per-batch offset mid
@@ -311,11 +318,7 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
         if obc:
             WOFF = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
 
-        def round_body(r, carry):
-            if schema.fuse:
-                states, anscur, offcur, W4, woff, acc_lo, acc_hi = carry
-            else:
-                states, anscur, offcur, W4, woff = carry
+        def one_round(r, states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi):
             kpos = BATCH * b + 4 * r + jq
             valid = kpos < bodyn
 
@@ -342,8 +345,9 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
             # --- offsets ---
             if obc:
                 cumO = offcur + quad_excl_prefix(ob)
-                ow0 = _srl(offcur, 5)
-                obl = cumO - _sll(ow0, 5)
+                # wob = word base of the current offset window (refill-time
+                # cursor >> 5); offcur itself may have advanced since refill
+                obl = cumO - _sll(wob, 5)
                 okw = _srl(obl, 5)
                 osw = obl & 31
 
@@ -413,24 +417,41 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
                 if not schema.lat32:
                     out_refs[1][0, ROUNDS_PER_BATCH * b + r] = lat_hi
 
-            # --- window refills for next round ---
-            W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
-            if obc:
-                woff = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
-            if schema.fuse:
-                return states, anscur, offcur, W4, woff, acc_lo, acc_hi
-            return states, anscur, offcur, W4, woff
+            return states, anscur, offcur, acc_lo, acc_hi
 
-        init = (states, anscur, offcur, W4,
-                WOFF if obc else jnp.zeros((8, 128), jnp.int32))
+        period = schema.off_refill_period if obc else 1
+        zero = jnp.zeros((8, 128), jnp.int32)
+
+        def round_body(rp, carry):
+            if schema.fuse:
+                states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi = carry
+            else:
+                states, anscur, offcur, W4, woff, wob = carry
+                acc_lo = acc_hi = zero
+            for sub in range(period):
+                r = rp * period + sub
+                states, anscur, offcur, acc_lo, acc_hi = one_round(
+                    r, states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi)
+                W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
+                if obc and sub == period - 1:
+                    woff = refill_window(offcur, mid_off, mb_off,
+                                         n_off_vregs, mid_off_n)
+                    wob = _srl(offcur, 5)
+            if schema.fuse:
+                return states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi
+            return states, anscur, offcur, W4, woff, wob
+
+        init = (states, anscur, offcur, W4, WOFF if obc else zero,
+                _srl(offcur, 5) if obc else zero)
         if schema.fuse:
             init = init + (acc_lo, acc_hi)
+        assert ROUNDS_PER_BATCH % period == 0
         carry_out = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(ROUNDS_PER_BATCH), round_body, init)
+            jnp.int32(0), jnp.int32(ROUNDS_PER_BATCH // period), round_body, init)
         if schema.fuse:
-            states, anscur, offcur, W4, WOFF, acc_lo, acc_hi = carry_out
+            states, anscur, offcur, W4, WOFF, _wob, acc_lo, acc_hi = carry_out
         else:
-            states, anscur, offcur, W4, WOFF = carry_out
+            states, anscur, offcur, W4, WOFF, _wob = carry_out
 
 
 def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_ids,
@@ -859,18 +880,21 @@ def _latents_from_out(outs, schema: LaunchSchema, start: int, n_pages: int, bias
 
 
 def _mem_from_fused_out(outs, schema: LaunchSchema, start: int, n_pages: int):
-    """Fused launches emit final memory bits as (lo, hi) planes."""
-    def chainsify(o):
-        T = o.shape[0]
-        x = o.reshape(T, schema.rounds, 8, 32, 4)
-        x = jnp.transpose(x, (0, 3, 2, 1, 4))
-        return x.reshape(T * TILE_CHAINS, schema.page_n)
-
-    lo = chainsify(outs[0])[start : start + n_pages]
-    hi = chainsify(outs[1])[start : start + n_pages]
-    lo64 = jax.lax.bitcast_convert_type(lo, jnp.uint32).astype(jnp.uint64)
-    hi64 = jax.lax.bitcast_convert_type(hi, jnp.uint32).astype(jnp.uint64)
-    return lo64 | (hi64 << jnp.uint64(32))
+    """Fused launches emit final memory bits as (lo, hi) planes. Returns
+    int32 (n_pages, page_n, 2) little-endian word pairs — staying in int32
+    keeps the un-transpose and trim off the x64-emulation path (the u64
+    combine at 64M cost more than the decode kernel's own post work)."""
+    T = outs[0].shape[0]
+    x = jnp.stack(
+        [
+            outs[0].reshape(T, schema.rounds, 8, 32, 4),
+            outs[1].reshape(T, schema.rounds, 8, 32, 4),
+        ],
+        axis=-1,
+    )
+    x = jnp.transpose(x, (0, 3, 2, 1, 4, 5))
+    x = x.reshape(T * TILE_CHAINS, schema.page_n, 2)
+    return x[start : start + n_pages]
 
 
 def _consecutive_decode_batched(latents, moments, order, latent_bits):
@@ -1114,8 +1138,19 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
             and plan.launches[vp2.launch_key].schema.fuse
             for vp2 in cp.var_plans.values()
         )
+        # trim ragged final page: only the last page's tail is padding, so the
+        # valid numbers are a contiguous prefix of the flat page-major array
+        page_w = var_latents["primary"].shape[1]
+        full = cp.n_pages - 1
+        last_n = int(cp.page_ns[-1])
+        n_valid = full * page_w + last_n
         if fused:
-            nums = var_latents["primary"].reshape(-1)
+            # int32 (n_pages, page_n, 2) word pairs; trim rows, keep pairs
+            mem32 = var_latents["primary"]
+            flat = (
+                mem32.reshape(-1, 2)[:n_valid] if cp.n_pages
+                else mem32.reshape(0, 2)
+            )
         else:
             dict_vals = jnp.asarray(cp.dict_vals) if cp.dict_vals is not None else None
             prim = var_latents["primary"].reshape(-1)
@@ -1124,16 +1159,21 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
             nums = _join_mem(
                 nt, cp.meta.mode.kind, jnp.uint64(cp.mode_scalar), dict_vals, prim, sec_
             )
-        # trim ragged final page: pages are page_n wide except the last
-        page_w = var_latents["primary"].shape[1]
-        full = cp.n_pages - 1
-        last_n = int(cp.page_ns[-1])
-        nums2 = nums.reshape(cp.n_pages, page_w)
-        flat = jnp.concatenate(
-            [nums2[:full].reshape(-1), nums2[full, :last_n]]
-        ) if cp.n_pages else nums2.reshape(0)
+            flat = nums[:n_valid] if cp.n_pages else nums[:0]
         results.append(flat)
     return results
+
+
+def result_checksum_u64(res):
+    """Sum of decoded u64 memory bits (mod 2^64) for one chunk result from
+    _decode_plan_device — handles both u64 arrays and fused int32 word-pair
+    arrays without forcing a u64 materialization on device."""
+    if res.ndim == 2 and res.dtype == jnp.int32:
+        w = jax.lax.bitcast_convert_type(res, jnp.uint32)
+        lo = jnp.sum(w[:, 0], dtype=jnp.uint64)
+        hi = jnp.sum(w[:, 1], dtype=jnp.uint64)
+        return lo + (hi << jnp.uint64(32))
+    return jnp.sum(res, dtype=jnp.uint64)
 
 
 def decode_container_device(data: bytes, plan: Optional[DecodePlan] = None):
@@ -1163,7 +1203,9 @@ def decode_container_device(data: bytes, plan: Optional[DecodePlan] = None):
         if cp.fallback is not None:
             pieces.append(cp.fallback)
         else:
-            mem = np.asarray(res)  # u64 raw memory bits
+            mem = np.asarray(res)
+            if mem.ndim == 2:  # fused: int32 (n, 2) little-endian word pairs
+                mem = np.ascontiguousarray(mem).view(np.uint64).reshape(-1)
             pieces.append(mem.astype(nt.latent.np_dtype).view(nt.np_dtype))
     if not pieces:
         return np.zeros(0, dtype=plan.idx.nt.np_dtype), fn, launch_arrays
