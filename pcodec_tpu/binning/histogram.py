@@ -69,12 +69,19 @@ class _Builder:
             self.complete_bin(bin_idx)
 
 
-def histogram(latents: np.ndarray, n_bins_log: int):
-    """Returns list[HistogramBin] identical to the reference's histogram()."""
+def histogram(latents: np.ndarray, n_bins_log: int, sort_in_place: bool = False):
+    """Returns list[HistogramBin] identical to the reference's histogram().
+
+    sort_in_place=True lets a caller that owns `latents` skip np.sort's
+    internal copy (a full-array pass)."""
     n = len(latents)
     if n == 0:
         return []
-    s = np.sort(latents)
+    if sort_in_place:
+        latents.sort()
+        s = latents
+    else:
+        s = np.sort(latents)
     b = _Builder(n, n_bins_log)
     pos = 0
     while pos < n:

@@ -17,7 +17,7 @@ from pcodec_tpu.binning.bin_optimization import BinCompressionInfo, optimize_bin
 from pcodec_tpu.binning.histogram import histogram
 from pcodec_tpu.codec import guarantee
 from pcodec_tpu.codec.chunk_config import ChunkConfig, DeltaSpec, ModeSpec, PagingSpec
-from pcodec_tpu.delta import consecutive_encode
+from pcodec_tpu.delta import consecutive_encode, consecutive_encode_pages
 from pcodec_tpu.delta.encode import (
     choose_lookbacks,
     conv1_choose_config,
@@ -82,7 +82,8 @@ def train_infos(latents: np.ndarray, unoptimized_bins_log: int, latent_type: Lat
     if len(latents) == 0:
         return TrainedBins([], 0, [])
     n_latents = len(latents)
-    unopt = histogram(latents, unoptimized_bins_log)
+    # train_infos always receives a freshly concatenated buffer it owns
+    unopt = histogram(latents, unoptimized_bins_log, sort_in_place=True)
     n_log_ceil = 0 if n_latents <= 1 else (n_latents - 1).bit_length()
     estimated_ans_size_log = min(unoptimized_bins_log + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
 
@@ -219,9 +220,64 @@ def delta_encode_and_build_page_infos(
 ):
     """ref: chunk_compressor.rs:144-219. Returns (latents per var, page infos)."""
     latents = PerLatentVar(None, primary.copy(), None if secondary is None else secondary.copy())
+
+    # fast path: consecutive delta over uniform pages vectorizes across the
+    # page axis (the per-page python loop dominates host training otherwise)
+    if (
+        delta_encoding.kind == DeltaEncoding.CONSECUTIVE
+        and len(n_per_page) > 1
+        and delta_encoding.order < min(n_per_page)
+    ):
+        order = delta_encoding.order
+        uniform = n_per_page[0]
+        n_uniform = 0
+        while n_uniform < len(n_per_page) and n_per_page[n_uniform] == uniform:
+            n_uniform += 1
+        page_infos = []
+        for key in ("primary", "secondary"):
+            var_latents = latents.get(key)
+            if var_latents is None:
+                continue
+            enc = delta_encoding.for_latent_var(key)
+            if enc.kind != DeltaEncoding.CONSECUTIVE:
+                # secondary without the delta flag stays NOOP
+                continue
+            body = var_latents[: n_uniform * uniform].reshape(n_uniform, uniform)
+            deltas, moments = consecutive_encode_pages(order, body)
+            var_latents[: n_uniform * uniform] = deltas.reshape(-1)
+            if key == "primary":
+                prim_moments = moments
+            else:
+                sec_moments = moments
+        for pi in range(n_uniform):
+            start, end = pi * uniform, (pi + 1) * uniform
+            per_var = PerLatentVar()
+            for key in ("primary", "secondary"):
+                if latents.get(key) is None:
+                    continue
+                enc = delta_encoding.for_latent_var(key)
+                if enc.kind == DeltaEncoding.CONSECUTIVE:
+                    state = (prim_moments if key == "primary" else sec_moments)[pi]
+                    stored_start = min(start + enc.n_latents_per_state(), end)
+                else:
+                    state = np.zeros(0, dtype=latents.get(key).dtype)
+                    stored_start = start
+                per_var.set(key, PageInfoVar(state, stored_start, end))
+            page_infos.append(PageInfo(uniform, per_var))
+        # remaining (ragged) pages via the scalar path
+        tail_infos = _delta_encode_pages_scalar(
+            delta_encoding, n_per_page[n_uniform:], latents, n_uniform * uniform
+        )
+        page_infos.extend(tail_infos)
+        return latents, page_infos
+
+    page_infos = _delta_encode_pages_scalar(delta_encoding, n_per_page, latents, 0)
+    return latents, page_infos
+
+
+def _delta_encode_pages_scalar(delta_encoding, n_per_page, latents, start):
     page_infos = []
     delta_latents_parts = []
-    start = 0
     for page_n in n_per_page:
         end = start + page_n
 
@@ -266,7 +322,7 @@ def delta_encode_and_build_page_infos(
             if delta_latents_parts
             else np.zeros(0, dtype=np.uint32)
         )
-    return latents, page_infos
+    return page_infos
 
 
 # ---------------------------------------------------------------------------

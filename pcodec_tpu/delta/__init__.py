@@ -43,6 +43,25 @@ def consecutive_encode(order: int, latents: np.ndarray):
     return out, moments
 
 
+def consecutive_encode_pages(order: int, pages: np.ndarray):
+    """Vectorized consecutive_encode over uniform pages.
+
+    pages: (n_pages, page_n) with page_n > order. Returns
+    (deltas (n_pages, page_n) with per-page junk fronts, moments
+    (n_pages, order)) — row-for-row identical to consecutive_encode on
+    each page (ref: delta/consecutive.rs:19-43).
+    """
+    out = pages.copy()
+    n_pages, page_n = out.shape
+    moments = np.zeros((n_pages, order), dtype=pages.dtype)
+    with np.errstate(over="ignore"):
+        for o in range(order):
+            moments[:, o] = out[:, o]
+            out[:, o + 1 :] = out[:, o + 1 :] - out[:, o:-1]
+        out[:, order:] = toggle_center(out[:, order:])
+    return out, moments
+
+
 def consecutive_decode_in_place(moments: np.ndarray, latents: np.ndarray) -> None:
     """Mutates `latents` (deltas in, values out) and `moments` (batch state).
 
