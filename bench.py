@@ -99,15 +99,24 @@ def main():
 
     gbps = nums.nbytes / best / 1e9
 
-    # ---- encode kernels (device dissect + pack), page 1024 ----
+    # ---- encode: device training (ops/device_train.py) + EB/EC kernels ----
+    # Protocol: numbers device-resident (production data lives in HBM); the
+    # train timing covers device dispatches + the small decision-sample /
+    # extract fetches; the kernel timing covers dissect+pack via checksum.
     import pcodec_tpu.ops.pallas_encode as pe
+    import pcodec_tpu.ops.device_train as dt
 
+    nums_dev = jnp.asarray(nums)
+    _ = int(jnp.sum(nums_dev, dtype=jnp.int64)[None][0])  # force upload
+    planned = dt.plan_encode_device(nums_dev, None, 1024, 1 << 20)  # compile warmup
     t0 = time.time()
-    nt, chunk_ns, ccs, chunk_jobs, groups = pe._plan_encode(nums, None, 1024, 1 << 20)
-    host_train_secs = time.time() - t0
+    planned = dt.plan_encode_device(nums_dev, None, 1024, 1 << 20)
+    train_secs = time.time() - t0
+    _, _, _, chunk_jobs, groups, dev_rows = planned
+    assert all(kind == "device" for kind, _ in chunk_jobs)
     enc_gbps = 0.0
     if groups:
-        results, handles = pe._build_and_run_launches(groups)
+        results, handles = pe._build_and_run_launches(groups, dev_rows=dev_rows)
         (schema, run, dev_args), = handles
 
         def enc_run(*a):
@@ -123,6 +132,8 @@ def main():
             int(ef(*dev_args)[0])
             ebest = min(ebest, time.perf_counter() - t0)
         enc_gbps = nums.nbytes / ebest / 1e9
+    encode_wall = train_secs + (nums.nbytes / enc_gbps / 1e9 if enc_gbps else 0.0)
+    encode_gbps = nums.nbytes / encode_wall / 1e9 if encode_wall else 0.0
 
     print(
         json.dumps(
@@ -136,8 +147,9 @@ def main():
                     "ratio": round(ratio, 3),
                     "decode_ms": round(best * 1e3, 2),
                     "compress_secs_host": round(compress_secs, 2),
+                    "encode_gbps": round(encode_gbps, 3),
                     "encode_kernels_gbps": round(enc_gbps, 3),
-                    "encode_host_train_secs": round(host_train_secs, 2),
+                    "encode_train_secs": round(train_secs, 2),
                     "bit_exact_checksum": True,
                 },
             }

@@ -13,6 +13,11 @@ import numpy as np
 
 from pcodec_tpu.dtypes import LatentType, leading_zeros_uint
 
+try:
+    from pcodec_tpu.native import kernels as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 SINGLE_BIN_SPEEDUP_WORTH_IN_BITS_PER_NUM = np.float32(0.1)
 TRIVIAL_OFFSET_SPEEDUP_WORTH_IN_BITS_PER_NUM = np.float32(0.1)
 
@@ -92,24 +97,29 @@ def _choose_optimized_partitioning(counts, lowers, uppers, ans_size_log, latent_
     total_count_log2 = log2_approx_f32(np.float32(total_count))
     bin_meta_cost = _bin_meta_cost(ans_size_log, latent_type)
 
-    best_costs = np.zeros(n + 1, dtype=np.float32)  # best cost through bin i-1
-    best_js = np.zeros(n, dtype=np.int64)
+    if _native is not None:
+        best_js, best_cost = _native.optimize_bins_dp(
+            c_counts, lowers, uppers, bin_meta_cost, total_count_log2
+        )
+    else:
+        best_costs = np.zeros(n + 1, dtype=np.float32)  # best cost through bin i-1
+        best_js = np.zeros(n, dtype=np.int64)
 
-    for i in range(n):
-        upper = uppers[i]
-        c_count_i = c_counts[i + 1]
-        cnt = (c_count_i - c_counts[: i + 1]).astype(np.float32)
-        ans_cost = total_count_log2 - log2_approx_f32(cnt)
-        offset_cost = _bits_to_encode_offset_vec(upper - lowers[: i + 1]).astype(np.float32)
-        costs = best_costs[: i + 1] + (bin_meta_cost + (ans_cost + offset_cost) * cnt)
-        # reference scans j from i downward keeping strict improvements, i.e.
-        # the LARGEST j among exact f32 ties
-        rev = costs[::-1]
-        best_j = i - int(np.argmin(rev))
-        best_js[i] = best_j
-        best_costs[i + 1] = costs[best_j]
+        for i in range(n):
+            upper = uppers[i]
+            c_count_i = c_counts[i + 1]
+            cnt = (c_count_i - c_counts[: i + 1]).astype(np.float32)
+            ans_cost = total_count_log2 - log2_approx_f32(cnt)
+            offset_cost = _bits_to_encode_offset_vec(upper - lowers[: i + 1]).astype(np.float32)
+            costs = best_costs[: i + 1] + (bin_meta_cost + (ans_cost + offset_cost) * cnt)
+            # reference scans j from i downward keeping strict improvements,
+            # i.e. the LARGEST j among exact f32 ties
+            rev = costs[::-1]
+            best_j = i - int(np.argmin(rev))
+            best_js[i] = best_j
+            best_costs[i + 1] = costs[best_j]
 
-    best_cost = best_costs[n]
+        best_cost = best_costs[n]
 
     single_bin_cost = _bin_cost_scalar(
         bin_meta_cost, int(lowers[0]), int(uppers[n - 1]), total_count, total_count_log2

@@ -494,17 +494,24 @@ def new_candidate(
 # ---------------------------------------------------------------------------
 
 
-def choose_delta_sample(primary: np.ndarray, group_size: int, n_extra_groups: int) -> np.ndarray:
-    """ref: chunk_compressor.rs:291-319."""
-    n = len(primary)
+def delta_sample_slices(n: int, group_size: int, n_extra_groups: int):
+    """(start, stop) pairs of the delta-sample groups, clamped to n."""
     nominal = (n_extra_groups + 1) * group_size
     padding = 0 if n_extra_groups == 0 else max(n - nominal, 0) // n_extra_groups
-    parts = [primary[:group_size]]
+    slices = [(0, min(group_size, n))]
     i = group_size
     for _ in range(n_extra_groups):
         i += padding
-        parts.append(primary[i : i + group_size])
+        slices.append((min(i, n), min(i + group_size, n)))
         i += group_size
+    return slices
+
+
+def choose_delta_sample(primary: np.ndarray, group_size: int, n_extra_groups: int) -> np.ndarray:
+    """ref: chunk_compressor.rs:291-319."""
+    parts = [
+        primary[a:b] for a, b in delta_sample_slices(len(primary), group_size, n_extra_groups)
+    ]
     return concat(parts)
 
 
@@ -519,6 +526,14 @@ def choose_auto_delta_encoding(primary: np.ndarray, ubl: int, lt: LatentType) ->
     """ref: chunk_compressor.rs:341-395."""
     n = len(primary)
     sample = choose_delta_sample(primary, DELTA_GROUP_SIZE, 1 + n // N_PER_EXTRA_DELTA_GROUP)
+    return choose_auto_delta_encoding_from_sample(sample, n, ubl, lt)
+
+
+def choose_auto_delta_encoding_from_sample(
+    sample: np.ndarray, n: int, ubl: int, lt: LatentType
+) -> DeltaEncoding:
+    """Auto delta choice given the already-assembled delta sample (a pure
+    function of the sample and n; device-train fetches only the sample)."""
     sample_n = len(sample)
 
     best = DeltaEncoding.noop()

@@ -113,6 +113,12 @@ def choose_candidate_base(sample: np.ndarray):
 def choose_base(nt: NumberType, nums: np.ndarray):
     latents = nt.to_latent_ordered(nums)
     sample = sampling.choose_sample(latents)
+    return choose_base_from_sample(sample)
+
+
+def choose_base_from_sample(sample):
+    """choose_base given the already-gathered latent sample (the decision
+    is a pure function of the sample; device-train fetches only this)."""
     if sample is None:
         return None
     cand = choose_candidate_base(sample)

@@ -19,7 +19,7 @@ if os.environ.get("PCODEC_TPU_NO_NATIVE"):
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"]
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
 
@@ -39,6 +39,29 @@ _lib.pco_ans_decode_batch.restype = ctypes.c_longlong
 _lib.pco_ans_decode_batch.argtypes = [
     _u8p, ctypes.c_longlong, ctypes.c_int, _u32p, _i32p, _u64p, _u64p, _i64p,
 ]
+_f32p = ctypes.POINTER(ctypes.c_float)
+_lib.pco_optimize_bins_dp.restype = None
+_lib.pco_optimize_bins_dp.argtypes = [
+    _u32p, _u64p, _u64p, ctypes.c_longlong,
+    ctypes.c_float, ctypes.c_float, _i64p, _f32p,
+]
+
+
+def optimize_bins_dp(c_counts, lowers, uppers, bin_meta_cost, total_count_log2):
+    """Returns (best_js int64[n], best_cost f32) of the bin-merge DP."""
+    n = len(lowers)
+    best_js = np.empty(n, dtype=np.int64)
+    best_cost = ctypes.c_float()
+    _lib.pco_optimize_bins_dp(
+        np.ascontiguousarray(c_counts, dtype=np.uint32).ctypes.data_as(_u32p),
+        np.ascontiguousarray(lowers, dtype=np.uint64).ctypes.data_as(_u64p),
+        np.ascontiguousarray(uppers, dtype=np.uint64).ctypes.data_as(_u64p),
+        n, ctypes.c_float(bin_meta_cost), ctypes.c_float(total_count_log2),
+        best_js.ctypes.data_as(_i64p), ctypes.byref(best_cost),
+    )
+    return best_js, np.float32(best_cost.value)
+
+
 _lib.pco_xoroshiro_fill.restype = None
 _lib.pco_xoroshiro_fill.argtypes = [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_longlong, _u64p]
 

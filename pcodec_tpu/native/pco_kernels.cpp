@@ -329,4 +329,69 @@ long long pco_decode_page_pre_delta(
   return bit_idx;
 }
 
+
+// ---------------------------------------------------------------------------
+// bin-optimization DP (ref: pco/src/bin_optimization.rs:104-199)
+//
+// All cost arithmetic is f32 with the reference's approximate log2 so that
+// tie-breaking — and therefore compressed size — matches the Rust encoder
+// bit for bit. Compile with -ffp-contract=off: an FMA contraction of
+// normalized*(B + C*normalized) or (ans+off)*cnt would change low bits.
+// ---------------------------------------------------------------------------
+
+static inline float pco_log2_approx_f32(float x) {
+  const float Z = 0.674f;
+  uint32_t zbits;
+  std::memcpy(&zbits, &Z, 4);
+  const uint32_t Z_SIGNIF = zbits & 0x7FFFFFu;
+  const float B = 2.0f / Z;
+  const float C = -B / (6.0f * Z);
+  const float A = -B - C;
+  uint32_t bits;
+  std::memcpy(&bits, &x, 4);
+  uint32_t exp = bits >> 23;
+  uint32_t signif = bits & 0x7FFFFFu;
+  uint32_t high_bit = signif > Z_SIGNIF ? 1u : 0u;
+  float log_int = (float)((int64_t)(exp + high_bit) - 127);
+  uint32_t norm_bits = ((0x7Fu ^ high_bit) << 23) | signif;
+  float normalized;
+  std::memcpy(&normalized, &norm_bits, 4);
+  return (log_int + A) + normalized * (B + C * normalized);
+}
+
+extern "C" void pco_optimize_bins_dp(
+    const uint32_t* c_counts,  // n+1 cumulative counts
+    const uint64_t* lowers, const uint64_t* uppers, long long n,
+    float bin_meta_cost, float total_count_log2,
+    int64_t* best_js_out, float* best_cost_out) {
+  // best_costs[i] = best total cost covering bins [0, i)
+  float* best_costs = new float[n + 1];
+  best_costs[0] = 0.0f;
+  for (long long i = 0; i < n; i++) {
+    uint64_t upper = uppers[i];
+    uint32_t c_count_i = c_counts[i + 1];
+    float best = 0.0f;
+    long long best_j = -1;
+    // scan j from i downward keeping strict improvements: the LARGEST j
+    // among exact f32 ties wins, like the reference's backward scan
+    for (long long j = i; j >= 0; j--) {
+      float cnt = (float)(c_count_i - c_counts[j]);
+      float ans_cost = total_count_log2 - pco_log2_approx_f32(cnt);
+      uint64_t diff = upper - lowers[j];
+      float offset_cost =
+          (float)(diff ? 64 - __builtin_clzll(diff) : 0);
+      float cost = best_costs[j] + (bin_meta_cost + (ans_cost + offset_cost) * cnt);
+      if (best_j < 0 || cost < best) {
+        best = cost;
+        best_j = j;
+      }
+    }
+    best_js_out[i] = best_j;
+    best_costs[i + 1] = best;
+  }
+  *best_cost_out = best_costs[n];
+  delete[] best_costs;
+}
+
 }  // extern "C"
+

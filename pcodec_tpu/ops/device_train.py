@@ -1,0 +1,460 @@
+"""Device-side encoder training: full-array passes on the TPU, decisions on
+the host from small fetched samples.
+
+The host training pipeline (codec/compress.py, mirroring the reference's
+wrapped/chunk_compressor.rs:477-534) spends its time in full-array passes:
+the order-preserving bijection (data_types/*), per-page delta encoding
+(delta/consecutive.rs:19-43), and the quantile histogram's sort
+(histograms.rs:208-298). On this host those passes are memcpy-bound, so this
+module runs them on the device instead and fetches only:
+
+  - the deterministic mode/delta samples (sampling.rs:19-63 — the mode and
+    delta decisions are pure functions of the samples),
+  - per-page delta moments (they go into page metadata),
+  - O(n_bins) quantile extracts per chunk that drive the histogram walk
+    (histograms.rs:132-206) without touching the sorted array per bin.
+
+Bins, ANS tables, and all emitted bytes are identical to the host pipeline;
+tests/test_pallas_encode.py asserts byte equality.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pcodec_tpu import constants as c
+from pcodec_tpu.binning import sampling
+from pcodec_tpu.binning.histogram import _Builder, HistogramBin
+from pcodec_tpu.codec.chunk_config import ChunkConfig, ModeSpec, PagingSpec
+from pcodec_tpu.codec import compress as cmp
+from pcodec_tpu.dtypes import LATENT_TYPES, NumberType
+from pcodec_tpu.format.metadata import DeltaEncoding, Mode, PerLatentVar
+from pcodec_tpu.modes import int_mult
+
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: int) -> bool:
+    """Chunks the device-train path covers; everything else falls back to the
+    host pipeline (same output, slower)."""
+    if nt.kind == "float":
+        return False  # float split needs softfloat arithmetic; host for now
+    if config.mode_spec.kind not in (ModeSpec.AUTO, ModeSpec.CLASSIC):
+        return False
+    if config.delta_spec.kind not in (
+        cmp.DeltaSpec.AUTO,
+        cmp.DeltaSpec.NO_OP,
+        cmp.DeltaSpec.TRY_CONSECUTIVE,
+    ):
+        return False
+    return n >= 4 * page_n
+
+
+# ---------------------------------------------------------------------------
+# jitted device phases
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("kind", "mid", "total_rows", "page_n"))
+def _phase_latents(nums_dev, mode_idx, delta_idx, kind, mid, total_rows, page_n):
+    """Bijection to latents + padded (rows, page_n) layout + sample gathers.
+
+    ref bijection: data_types/signed.rs:88-91 (toggle top bit),
+    unsigned.rs:118-120 (identity); widened to u64 rows for the kernels."""
+    bits = nums_dev.dtype.itemsize * 8
+    udt = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[bits]
+    lat = jax.lax.bitcast_convert_type(nums_dev, udt)
+    if kind == "signed":
+        lat = lat ^ udt(mid)
+    lat = lat.astype(jnp.uint64)
+    mode_s = lat[mode_idx]
+    delta_s = lat[delta_idx]
+    pad = total_rows * page_n - lat.shape[0]
+    lat2d = jnp.pad(lat, (0, pad)).reshape(total_rows, page_n)
+    return lat2d, mode_s, delta_s
+
+
+@partial(jax.jit, static_argnames=("max_order", "n_chunks", "rows_per_chunk",
+                                   "page_n", "lat_bits"))
+def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
+                      max_order, n_chunks, rows_per_chunk, page_n, lat_bits):
+    """Per-page consecutive delta (vectorized, every order at once), then a
+    per-chunk sort of the junk-masked deltas and the batched quantile
+    extraction that drives the histogram walk on the host.
+
+    order_row (rows,) i32: the chunk's delta order per page row.
+    rowlen (rows,) i32: real numbers in each page row (0 for pad rows).
+    nreal (n_chunks,) i32: histogram population per chunk.
+    extract_idx (n_chunks, NB) i32: c_count(j)-1 positions per chunk.
+    """
+    out = lat2d
+    moments_cols = []
+    col = jax.lax.broadcasted_iota(jnp.int32, lat2d.shape, 1)
+    # wrapping arithmetic is mod 2^lat_bits even though rows are u64-widened
+    mask = jnp.uint64((1 << lat_bits) - 1) if lat_bits < 64 else None
+    for o in range(max_order):
+        live = (order_row > o)[:, None]
+        moments_cols.append(jnp.where(live[:, 0], out[:, o], 0))
+        diff = out - jnp.roll(out, 1, axis=1)
+        if mask is not None:
+            diff = diff & mask
+        step = jnp.where(col > o, diff, out)
+        out = jnp.where(live, step, out)
+    # toggle_center applies only to delta'd rows (delta/mod.rs:26-31);
+    # NOOP pages keep raw latents
+    mid = jnp.uint64(1) << jnp.uint64(lat_bits - 1)
+    toggled = out + mid
+    if mask is not None:
+        toggled = toggled & mask
+    do_toggle = (col >= order_row[:, None]) & (order_row[:, None] > 0)
+    out = jnp.where(do_toggle, toggled, out)
+    moments = (
+        jnp.stack(moments_cols, axis=1)
+        if moments_cols
+        else jnp.zeros((lat2d.shape[0], 0), jnp.uint64)
+    )
+
+    # sort input: junk fronts and padding replaced by U64 MAX
+    live_col = (col >= order_row[:, None]) & (col < rowlen[:, None])
+    sort_in = jnp.where(live_col, out, jnp.uint64(U64_MAX))
+    per_chunk = sort_in.reshape(n_chunks, rows_per_chunk * page_n)
+    s = jnp.sort(per_chunk, axis=1)
+
+    v = jnp.take_along_axis(s, extract_idx.astype(jnp.int32), axis=1)
+    left = jax.vmap(partial(jnp.searchsorted, side="left"))(s, v)
+    right = jax.vmap(partial(jnp.searchsorted, side="right"))(s, v)
+    # pads are U64_MAX at the tail; clipping right to the real count keeps
+    # run extents exact even when real values equal U64_MAX
+    right = jnp.minimum(right.astype(jnp.int64), nreal[:, None].astype(jnp.int64))
+    sl1 = jnp.take_along_axis(s, jnp.maximum(left - 1, 0).astype(jnp.int32), axis=1)
+    sr_idx = jnp.clip(jnp.minimum(right, nreal[:, None] - 1), 0, s.shape[1] - 1)
+    sr = jnp.take_along_axis(s, sr_idx.astype(jnp.int32), axis=1)
+    s0 = s[:, 0]
+    return out, moments, v, left, right, sl1, sr, s0
+
+
+# ---------------------------------------------------------------------------
+# host histogram walk from device extracts
+# ---------------------------------------------------------------------------
+
+
+def histogram_from_extracts(n, n_bins_log, V, L, R, SL1, SR, s0, slast):
+    """The histogram quantile walk (ref: histograms.rs:132-206) driven by the
+    device-extracted quantile values and run extents instead of the sorted
+    array. Produces exactly histogram(latents, n_bins_log)."""
+    if n == 0:
+        return []
+    b = _Builder(n, n_bins_log)
+    pos = 0
+    cur_lower = int(s0)
+    while pos < n:
+        j = b.bin_idx(b.n_applied)
+        tcc = b.c_count(j)
+        ti = tcc - pos
+        if ti >= n - pos:
+            b.apply_incomplete(n - pos, cur_lower, int(slast))
+            if ti == n - pos:
+                b.complete_bin(j)
+            break
+        tx = int(V[j])
+        l = max(int(L[j]), pos)
+        r = int(R[j])
+        if l > pos:
+            b.apply_incomplete(l - pos, cur_lower, int(SL1[j]))
+        b.apply_constant_run(r - l, tx)
+        pos = r
+        cur_lower = int(SR[j])
+    return b.dst
+
+
+# ---------------------------------------------------------------------------
+# the device-train planner
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeviceChunkTrain:
+    ci: int
+    cc: object  # ChunkCompressor (lvc.latents is None)
+    order: int
+    row_start: int  # first page row of this chunk in the padded row array
+    n_pages: int
+
+
+def plan_encode_device(nums, config: Optional[ChunkConfig],
+                       page_n: int, chunk_n: int):
+    """Device-train drop-in for pallas_encode._plan_encode. Returns
+    (nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows) or None when the
+    configuration isn't covered (caller falls back to the host planner).
+
+    nums may be a numpy array or an already-device-resident jax array
+    (production pipelines keep data in HBM; only samples come back).
+    dev_rows: (total_rows, page_n) u64 device array of page-delta'd latents
+    (junk fronts intact); jobs carry (row_start, n_pages, order) so the
+    launch builder can slice it without another host round trip.
+    """
+    from pcodec_tpu.codec import container as ctn
+    from pcodec_tpu.dtypes import number_type_from_np
+    from pcodec_tpu.ops.pallas_encode import build_enc_tables
+
+    config = config or ChunkConfig()
+    nt = number_type_from_np(np.dtype(nums.dtype))
+    config.validate(nt.latent)
+    n = len(nums)
+    if not device_train_supported(nt, config, n, page_n):
+        return None
+    chunk_ns = ctn._exact_split(n, chunk_n)
+    n_chunks = len(chunk_ns)
+    rows_per_chunk = -(-chunk_n // page_n)
+    if chunk_n % page_n or rows_per_chunk % 256:
+        return None
+    total_rows = n_chunks * rows_per_chunk
+
+    # ---- per-row bookkeeping (host) ----
+    rowlen = np.zeros(total_rows, dtype=np.int32)
+    row = 0
+    pages_per_chunk: List[List[int]] = []
+    for cn in chunk_ns:
+        per = ctn._exact_split(cn, page_n)
+        pages_per_chunk.append(per)
+        rowlen[row : row + len(per)] = per
+        row += rows_per_chunk
+    if any(p[-1] <= c.MAX_CONSECUTIVE_DELTA_ORDER for p in pages_per_chunk):
+        return None  # degenerate ragged tail; host path handles it
+
+    # ---- deterministic sample indices (uniform chunks share them) ----
+    level = config.compression_level
+    idx_cache: Dict[int, np.ndarray] = {}
+    dslice_cache: Dict[int, list] = {}
+    mode_idx_parts, delta_idx_parts = [], []
+    mode_spans, delta_spans = [], []
+    start = 0
+    for cn in chunk_ns:
+        if cn not in idx_cache:
+            mi = sampling.choose_sample_indices(cn)
+            idx_cache[cn] = mi if mi is not None else np.zeros(0, dtype=np.int64)
+            dslice_cache[cn] = cmp.delta_sample_slices(
+                cn, cmp.DELTA_GROUP_SIZE, 1 + cn // cmp.N_PER_EXTRA_DELTA_GROUP
+            )
+        mi = idx_cache[cn]
+        mode_spans.append((sum(len(p) for p in mode_idx_parts), len(mi)))
+        mode_idx_parts.append(mi + start)
+        dsl = dslice_cache[cn]
+        dn = sum(b - a for a, b in dsl)
+        delta_spans.append((sum(len(p) for p in delta_idx_parts), dn))
+        delta_idx_parts.append(
+            np.concatenate([np.arange(a, b, dtype=np.int64) for a, b in dsl]) + start
+        )
+        start += cn
+    mode_idx = np.concatenate(mode_idx_parts) if mode_idx_parts else np.zeros(0, np.int64)
+    delta_idx = np.concatenate(delta_idx_parts) if delta_idx_parts else np.zeros(0, np.int64)
+
+    # ---- phase A: bijection + samples ----
+    lat2d, mode_s_dev, delta_s_dev = _phase_latents(
+        jnp.asarray(nums),
+        jnp.asarray(mode_idx),
+        jnp.asarray(delta_idx),
+        kind=nt.kind,
+        mid=int(nt.latent.mid),
+        total_rows=total_rows,
+        page_n=page_n,
+    )
+    # samples come back u64-widened; decisions are latent-width sensitive
+    # (wrapping diffs in the delta sample compressions), so narrow first
+    lt = nt.latent
+    mode_samples = np.asarray(mode_s_dev).astype(lt.np_dtype)
+    delta_samples = np.asarray(delta_s_dev).astype(lt.np_dtype)
+
+    # ---- host decisions per chunk ----
+    orders = np.zeros(n_chunks, dtype=np.int32)
+    ubls = np.zeros(n_chunks, dtype=np.int32)
+    encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
+    for ci, cn in enumerate(chunk_ns):
+        ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
+        if config.mode_spec.kind == ModeSpec.AUTO:
+            a, m = mode_spans[ci]
+            ms = mode_samples[a : a + m] if m else None
+            base = int_mult.choose_base_from_sample(ms) if ms is not None and len(ms) else None
+            if base is not None:
+                continue  # IntMult: host pipeline splits it (encs stays None)
+                continue
+        if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+            a, m = delta_spans[ci]
+            enc = cmp.choose_auto_delta_encoding_from_sample(
+                delta_samples[a : a + m], cn, int(ubls[ci]), lt
+            )
+        elif config.delta_spec.kind == cmp.DeltaSpec.NO_OP:
+            enc = DeltaEncoding.noop()
+        else:  # TRY_CONSECUTIVE
+            enc = (
+                DeltaEncoding.noop()
+                if config.delta_spec.order == 0
+                else DeltaEncoding.consecutive(config.delta_spec.order)
+            )
+        if enc.kind == DeltaEncoding.LOOKBACK:
+            continue  # host pipeline (encs stays None)
+        encs[ci] = enc
+        orders[ci] = enc.order if enc.kind == DeltaEncoding.CONSECUTIVE else 0
+
+    # ---- phase B: delta + sort + extracts ----
+    NB = 1 << int(ubls.max()) if n_chunks else 1
+    order_row = np.repeat(orders, rows_per_chunk).astype(np.int32)
+    nreal = np.zeros(n_chunks, dtype=np.int64)
+    extract_idx = np.zeros((n_chunks, NB), dtype=np.int64)
+    for ci, cn in enumerate(chunk_ns):
+        if encs[ci] is None:
+            continue
+        nr = cn - int(orders[ci]) * len(pages_per_chunk[ci])
+        nreal[ci] = nr
+        nb = 1 << int(ubls[ci])
+        j = np.arange(nb, dtype=np.int64)
+        cc_pos = ((j + 1) * nr + nb - 1) >> int(ubls[ci])
+        extract_idx[ci, :nb] = np.minimum(cc_pos - 1, max(nr - 1, 0))
+    dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
+        lat2d,
+        jnp.asarray(order_row),
+        jnp.asarray(rowlen),
+        jnp.asarray(nreal),
+        jnp.asarray(extract_idx),
+        max_order=int(orders.max()) if n_chunks else 0,
+        n_chunks=n_chunks,
+        rows_per_chunk=rows_per_chunk,
+        page_n=page_n,
+        lat_bits=nt.latent.bits,
+    )
+    moments = np.asarray(moments_dev)
+    Vn, Ln, Rn, SL1n, SRn, S0n = (np.asarray(x) for x in (V, L, R, SL1, SR, S0))
+
+    # ---- host: bins, metadata, jobs ----
+    nums_np_cache: List[Optional[np.ndarray]] = [None]
+
+    def _nums_np(a, b):
+        # host-pipeline chunks need host-side numbers; fetch lazily once
+        if nums_np_cache[0] is None:
+            nums_np_cache[0] = np.asarray(nums)
+        return nums_np_cache[0][a:b]
+
+    ccs: List[object] = [None] * n_chunks
+    chunk_jobs: List[tuple] = [(None, None)] * n_chunks
+    groups: Dict[tuple, list] = {}
+    start = 0
+    for ci, cn in enumerate(chunk_ns):
+        if encs[ci] is None:
+            # host pipeline for this chunk (IntMult / lookback / fallback)
+            chunk_config = ChunkConfig(
+                compression_level=level,
+                mode_spec=config.mode_spec,
+                delta_spec=config.delta_spec,
+                paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci]),
+                enable_8_bit=config.enable_8_bit,
+            )
+            ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start, start + cn), chunk_config)
+            chunk_jobs[ci] = ("host", None)
+            start += cn
+            continue
+
+        order = int(orders[ci])
+        nr = int(nreal[ci])
+        nb_log = int(ubls[ci])
+        # slast: the last real sorted value == SR at the final run; derive it
+        # from the extract at the last bin position (c_count(nb-1) == nr)
+        slast = int(Vn[ci, (1 << nb_log) - 1])
+        unopt = histogram_from_extracts(
+            nr, nb_log, Vn[ci], Ln[ci], Rn[ci], SL1n[ci], SRn[ci], int(S0n[ci]), slast
+        )
+        trained = _train_from_histogram(unopt, nr, nb_log, lt)
+        bins = cmp.bins_from_infos(trained.infos, lt)
+        lvc = cmp.LatentVarCompressor(trained, bins, None)
+        var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
+        meta = cmp.ChunkMeta(Mode(Mode.CLASSIC), encs[ci], var_metas, nt.latent)
+        page_infos = _device_page_infos(
+            pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt
+        )
+        cand = cmp.ChunkCompressor(meta, PerLatentVar(None, lvc, None), page_infos)
+        counts = PerLatentVar(None, trained.counts, None)
+        if cand.should_fallback(nt.latent, cn, counts):
+            ccs[ci] = cmp.fallback_chunk_compressor(
+                nt, _nums_np(start, start + cn), pages_per_chunk[ci]
+            )
+            chunk_jobs[ci] = ("host", None)
+            start += cn
+            continue
+        ccs[ci] = cand
+        start += cn
+
+        if lvc.is_trivial:
+            chunk_jobs[ci] = ("host", None)
+            continue
+        nexts, lowers, t1, t2, ts = build_enc_tables(meta.per_latent_var.primary)
+        b = len(lowers)
+        max_ob = int(lvc.max_offset_bits)
+        worst_bits = (
+            float(np.max(bins.worst_case_bits_per_latent(lvc.ans_size_log))) if b else 0.0
+        )
+        sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
+        if not (ts <= 4096 and b <= 2048 and sec_words <= 2048):
+            # kernel limits: re-train on host (rare, pathological tables)
+            chunk_config = ChunkConfig(
+                compression_level=level,
+                mode_spec=config.mode_spec,
+                delta_spec=config.delta_spec,
+                paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci]),
+                enable_8_bit=config.enable_8_bit,
+            )
+            ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start - cn, start), chunk_config)
+            chunk_jobs[ci] = ("host", None)
+            continue
+        ob_class = 0 if max_ob == 0 else (32 if max_ob <= 32 else 64)
+        key = (page_n, ob_class, max(sec_words, 128))
+        job = {
+            "ci": ci, "cc": ccs[ci], "tables": (nexts, lowers, t1, t2, ts),
+            "b": b, "max_ob": max_ob,
+            "dev": {"row_start": ci * rows_per_chunk, "order": order,
+                    "n_pages": len(pages_per_chunk[ci])},
+        }
+        groups.setdefault(key, []).append(job)
+        chunk_jobs[ci] = ("device", job)
+
+    return nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows
+
+
+def _train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type):
+    """train_infos (codec/compress.py) with the histogram precomputed."""
+    from pcodec_tpu.format import ans
+
+    if n_latents == 0:
+        return cmp.TrainedBins([], 0, [])
+    n_log_ceil = 0 if n_latents <= 1 else (n_latents - 1).bit_length()
+    estimated = min(unoptimized_bins_log + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
+    infos = cmp.optimize_bins(unopt, estimated, latent_type)
+    counts = [i.weight for i in infos]
+    ans_size_log, weights = ans.quantize_weights(counts, n_latents, estimated)
+    for info, w in zip(infos, weights):
+        info.weight = w
+    return cmp.TrainedBins(infos, ans_size_log, counts)
+
+
+def _device_page_infos(per_page: List[int], order: int, chunk_moments: np.ndarray, nt):
+    # delta states are raw latents in page metadata — latent width matters
+    # (metadata/page_latent_var.rs:18-50)
+    ldt = nt.latent.np_dtype
+    if order:
+        states = np.ascontiguousarray(chunk_moments[: len(per_page), :order]).astype(ldt)
+    else:
+        empty = np.zeros(0, dtype=ldt)
+    infos = []
+    start = 0
+    for pi, pn in enumerate(per_page):
+        end = start + pn
+        if order:
+            piv = cmp.PageInfoVar(states[pi], min(start + order, end), end)
+        else:
+            piv = cmp.PageInfoVar(empty, start, end)
+        infos.append(cmp.PageInfo(pn, PerLatentVar(None, piv, None)))
+        start = end
+    return infos

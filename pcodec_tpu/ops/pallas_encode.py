@@ -589,9 +589,13 @@ def _run_launch_device(schema: EncSchema, latlo, lathi, tables, bodyn, states0, 
 
 
 
-def _build_and_run_launches(groups, jit_cache=None):
+def _build_and_run_launches(groups, jit_cache=None, dev_rows=None):
     """Build device inputs per launch group and run EB+EC. Returns
-    {ci: outputs} plus per-launch (schema, device args, jitted fn)."""
+    {ci: outputs} plus per-launch (schema, device args, jitted fn).
+
+    Jobs from the device-train planner (ops/device_train.py) carry a "dev"
+    entry referencing page rows already on the device (dev_rows); those skip
+    the host row building and upload entirely."""
     results = {}
     launch_handles = []
     for key, jobs in groups.items():
@@ -626,17 +630,29 @@ def _build_and_run_launches(groups, jit_cache=None):
             tables[tid, 4, :, :b_pad] = t2p[None, :]
             cc = j["cc"]
             lvc = cc.lvcs.primary
-            lat64 = lvc.latents.astype(np.uint64)
             n_pages = len(cc.page_infos)
             n_pad = (-n_pages) % TILE_CHAINS
-            rows = np.zeros((n_pages + n_pad, pg), dtype=np.uint64)
             bn = np.zeros(n_pages + n_pad, dtype=np.int64)
-            for pi, info in enumerate(cc.page_infos):
-                piv = info.per_latent_var.primary
-                body = lat64[piv.start : piv.end]
-                rows[pi, : len(body)] = body
-                bn[pi] = len(body)
-            lat_rows.append(rows)
+            if "dev" in j:
+                d = j["dev"]
+                o = d["order"]
+                rows_dev = dev_rows[d["row_start"] : d["row_start"] + n_pages + n_pad]
+                body2d = rows_dev[:, o:]
+                lat_rows.append(
+                    jnp.pad(body2d, ((0, 0), (0, o))) if o else body2d
+                )
+                for pi, info in enumerate(cc.page_infos):
+                    piv = info.per_latent_var.primary
+                    bn[pi] = piv.end - piv.start
+            else:
+                lat64 = lvc.latents.astype(np.uint64)
+                rows = np.zeros((n_pages + n_pad, pg), dtype=np.uint64)
+                for pi, info in enumerate(cc.page_infos):
+                    piv = info.per_latent_var.primary
+                    body = lat64[piv.start : piv.end]
+                    rows[pi, : len(body)] = body
+                    bn[pi] = len(body)
+                lat_rows.append(rows)
             bodyn_rows.append(bn)
             states0_rows.append(np.full(n_pages + n_pad, ts, dtype=np.int64))
             j["chain_start"] = sum(r["n_total"] for r in chain_runs)
@@ -644,11 +660,20 @@ def _build_and_run_launches(groups, jit_cache=None):
             chain_runs.append({"n_total": n_pages + n_pad})
             tbl_ids.extend([tid] * ((n_pages + n_pad) // TILE_CHAINS))
 
-        lat_all = np.concatenate(lat_rows, axis=0)
         bodyn_all = np.concatenate(bodyn_rows)
         states0_all = np.concatenate(states0_rows)
-        latlo = _to_round_layout(jnp.asarray((lat_all & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)))
-        lathi = _to_round_layout(jnp.asarray((lat_all >> np.uint64(32)).astype(np.uint32).view(np.int32)))
+        if any(isinstance(r, jnp.ndarray) or hasattr(r, "devices") for r in lat_rows):
+            parts = [r if hasattr(r, "devices") else jnp.asarray(r) for r in lat_rows]
+            lat_dev = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            latlo = _to_round_layout(
+                jax.lax.bitcast_convert_type(lat_dev.astype(jnp.uint32), jnp.int32))
+            lathi = _to_round_layout(
+                jax.lax.bitcast_convert_type(
+                    (lat_dev >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32))
+        else:
+            lat_all = np.concatenate(lat_rows, axis=0)
+            latlo = _to_round_layout(jnp.asarray((lat_all & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)))
+            lathi = _to_round_layout(jnp.asarray((lat_all >> np.uint64(32)).astype(np.uint32).view(np.int32)))
         bodyn = _dense_quad_dev(jnp.asarray(bodyn_all))
         states0 = _dense_quad_dev(jnp.asarray(states0_all))
 
@@ -770,10 +795,17 @@ def encode_container_device(nums, config=None, page_n: int = 1024,
     from pcodec_tpu.format.metadata import DeltaEncoding, PageLatentVarMeta, PageMeta, PerLatentVar
     from pcodec_tpu.utils import concat
 
-    nt, chunk_ns, ccs, chunk_jobs, groups = _plan_encode(nums, config, page_n, chunk_n)
+    from pcodec_tpu.ops.device_train import plan_encode_device
+
+    dev_rows = None
+    planned = plan_encode_device(nums, config, page_n, chunk_n)
+    if planned is not None:
+        nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+    else:
+        nt, chunk_ns, ccs, chunk_jobs, groups = _plan_encode(nums, config, page_n, chunk_n)
 
     # ---- build + run launches ----
-    results, _ = _build_and_run_launches(groups)
+    results, _ = _build_and_run_launches(groups, dev_rows=dev_rows)
 
     # ---- assemble the container file (host) ----
     fc = FileCompressor()

@@ -68,3 +68,78 @@ class TestDeviceEncode:
     def test_tiny(self):
         _identical(np.arange(7, dtype=np.int64))
         _identical(np.cumsum(RNG.integers(0, 90, 1025)).astype(np.int64))
+
+
+class TestDeviceTrain:
+    """plan_encode_device (ops/device_train.py): the device-side training
+    pipeline (bijection, page delta, sort-based histogram extraction) must
+    make exactly the host pipeline's decisions — byte-identical files."""
+
+    def _dt(self, nums, cfg=None, page_n=256, chunk_n=131072):
+        from pcodec_tpu.ops.device_train import plan_encode_device
+
+        planned = plan_encode_device(nums, cfg, page_n, chunk_n)
+        assert planned is not None, "expected the device-train path"
+        return _identical(nums, cfg, page_n=page_n, chunk_n=chunk_n)
+
+    def test_i64_delta1(self):
+        self._dt(np.cumsum(RNG.integers(0, 120, 200_000)).astype(np.int64))
+
+    def test_u32_noop(self):
+        self._dt(RNG.integers(0, 5000, 200_000).astype(np.uint32))
+
+    def test_i32_delta_narrow_wrap(self):
+        # 32-bit wrapping diffs + 32-bit page delta states
+        self._dt(np.cumsum(RNG.integers(-3, 9, 200_000)).astype(np.int32))
+
+    def test_i16_and_high_order(self):
+        self._dt(RNG.integers(-300, 300, 200_000).astype(np.int16))
+        x = np.cumsum(np.cumsum(RNG.integers(0, 5, 200_000))).astype(np.uint64)
+        self._dt(x)
+
+    def test_intmult_falls_back_to_host(self):
+        # IntMult chunks route through the host pipeline inside the plan
+        self._dt((RNG.integers(0, 10000, 200_000) * 8).astype(np.int64))
+
+    def test_trivial_constant(self):
+        self._dt(np.full(200_000, 42, dtype=np.int64))
+
+    def test_ragged_tail_chunk(self):
+        self._dt(np.cumsum(RNG.integers(0, 50, 300_001)).astype(np.int64),
+                 page_n=1024, chunk_n=262144)
+
+    def test_levels(self):
+        for level in (0, 12):
+            self._dt(np.cumsum(RNG.integers(0, 120, 150_000)).astype(np.int64),
+                     ChunkConfig(compression_level=level))
+
+    def test_histogram_extract_walk_equivalence(self):
+        # histogram_from_extracts == histogram on adversarial multisets
+        from pcodec_tpu.binning.histogram import histogram
+        from pcodec_tpu.ops.device_train import histogram_from_extracts
+
+        rng = np.random.default_rng(5)
+        for data in [
+            rng.integers(0, 10, 5000).astype(np.uint64),          # heavy runs
+            np.zeros(3000, dtype=np.uint64),                      # one run
+            rng.integers(0, 2**63, 5000).astype(np.uint64),       # distinct
+            np.repeat(rng.integers(0, 50, 100), 50).astype(np.uint64),
+            np.full(1000, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),   # all MAX
+        ]:
+            for log in (2, 5, 8):
+                nb = 1 << log
+                n = len(data)
+                s = np.sort(data)
+                j = np.arange(nb)
+                ccp = ((j + 1) * n + nb - 1) >> log
+                idx = np.minimum(ccp - 1, n - 1)
+                V = s[idx]
+                L = np.searchsorted(s, V, side="left")
+                R = np.searchsorted(s, V, side="right")
+                SL1 = s[np.maximum(L - 1, 0)]
+                SR = s[np.minimum(R, n - 1)]
+                a = histogram(data.copy(), log)
+                b = histogram_from_extracts(n, log, V, L, R, SL1, SR, s[0], s[-1])
+                assert [(x.count, x.lower, x.upper) for x in a] == [
+                    (x.count, x.lower, x.upper) for x in b
+                ], (log, len(data))
