@@ -131,6 +131,38 @@ def cmd_inspect(args):
     print(format_report(inspect_file(data), verbose=args.verbose))
 
 
+def _bench_codecs(config):
+    """Codec surfaces like the reference bench's CodecInternal
+    (ref: pco_cli/src/bench/codecs/mod.rs:47-93). The reference compares pco
+    against zstd/snappy/parquet; this environment provides zlib/lzma/bz2."""
+    import bz2
+    import lzma
+    import zlib
+
+    def pco_c(nums):
+        return simple_compress(nums, config)
+
+    def pco_d(data, dtype):
+        out, _ = simple_decompress(data)
+        return out
+
+    return {
+        "pco_tpu": (pco_c, pco_d),
+        "zlib": (
+            lambda nums: zlib.compress(nums.tobytes(), 6),
+            lambda data, dtype: np.frombuffer(zlib.decompress(data), dtype=dtype),
+        ),
+        "lzma": (
+            lambda nums: lzma.compress(nums.tobytes(), preset=1),
+            lambda data, dtype: np.frombuffer(lzma.decompress(data), dtype=dtype),
+        ),
+        "bz2": (
+            lambda nums: bz2.compress(nums.tobytes(), 9),
+            lambda data, dtype: np.frombuffer(bz2.decompress(data), dtype=dtype),
+        ),
+    }
+
+
 def cmd_bench(args):
     if args.input:
         nums = load_input(args.input, args.dtype)
@@ -142,40 +174,47 @@ def cmd_bench(args):
         nums = np.cumsum(incs).astype(np.int64)
         name = f"synthetic_i64_{n}"
     config = build_config(args)
+    surfaces = _bench_codecs(config)
+    codecs = [c.strip() for c in args.codecs.split(",") if c.strip()]
+    unknown = [c for c in codecs if c not in surfaces]
+    if unknown:
+        raise SystemExit(f"unknown codecs {unknown}; available: {sorted(surfaces)}")
 
     rows = []
-    compress_dts, decompress_dts = [], []
-    data = None
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        data = simple_compress(nums, config)
-        compress_dts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out, _ = simple_decompress(data)
-        decompress_dts.append(time.perf_counter() - t0)
-        if not args.no_assertions:
-            if nums.dtype.kind == "f":
-                w = {2: np.uint16, 4: np.uint32, 8: np.uint64}[nums.dtype.itemsize]
-                assert np.array_equal(out.view(w), nums.view(w))
-            else:
-                assert np.array_equal(out, nums)
-    compress_dt = float(np.median(compress_dts))
-    decompress_dt = float(np.median(decompress_dts))
-    rows.append(
-        {
-            "input": name,
-            "codec": "pco_tpu",
-            "compress_dt": compress_dt,
-            "decompress_dt": decompress_dt,
-            "compressed_size": len(data),
-            "uncompressed_size": nums.nbytes,
-        }
-    )
-    print(
-        f"{name}: ratio {nums.nbytes / len(data):.3f}, compress "
-        f"{nums.nbytes / compress_dt / 1e9:.3f} GB/s, decompress "
-        f"{nums.nbytes / decompress_dt / 1e9:.3f} GB/s"
-    )
+    for codec in codecs:
+        comp, decomp = surfaces[codec]
+        compress_dts, decompress_dts = [], []
+        data = None
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            data = comp(nums)
+            compress_dts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = decomp(data, nums.dtype)
+            decompress_dts.append(time.perf_counter() - t0)
+            if not args.no_assertions:
+                if nums.dtype.kind == "f":
+                    w = {2: np.uint16, 4: np.uint32, 8: np.uint64}[nums.dtype.itemsize]
+                    assert np.array_equal(out.view(w), nums.view(w))
+                else:
+                    assert np.array_equal(out, nums)
+        compress_dt = float(np.median(compress_dts))
+        decompress_dt = float(np.median(decompress_dts))
+        rows.append(
+            {
+                "input": name,
+                "codec": codec,
+                "compress_dt": compress_dt,
+                "decompress_dt": decompress_dt,
+                "compressed_size": len(data),
+                "uncompressed_size": nums.nbytes,
+            }
+        )
+        print(
+            f"{name} [{codec}]: ratio {nums.nbytes / len(data):.3f}, compress "
+            f"{nums.nbytes / compress_dt / 1e9:.3f} GB/s, decompress "
+            f"{nums.nbytes / decompress_dt / 1e9:.3f} GB/s"
+        )
     if args.csv:
         with open(args.csv, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
@@ -226,6 +265,8 @@ def main(argv=None):
     sp.add_argument("--iters", type=int, default=3)
     sp.add_argument("--csv", default=None)
     sp.add_argument("--no-assertions", action="store_true")
+    sp.add_argument("--codecs", default="pco_tpu",
+                    help="comma list: pco_tpu,zlib,lzma,bz2")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

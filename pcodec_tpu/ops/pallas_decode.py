@@ -105,19 +105,17 @@ class LaunchSchema:
         return self.page_n // c.ANS_INTERLEAVING
 
     @property
-    def off_words(self):  # per-chain offset window size in words (0/12)
-        # 12 words = 384 bits covers TWO worst-case obc-30 rounds (31-bit
-        # start slack + 2x4x30 offset bits + final word reach), so that
-        # class refills the offset window only every other round
-        return {0: 0, 30: 12, 64: 12}[self.ob_class]
-
-    @property
-    def off_refill_period(self):  # rounds between offset-window refills
-        return 2 if self.ob_class == 30 else 1
+    def pack_period(self):  # rounds between packed-window rebuilds
+        # bounded by offset-window validity: 32 words = 1024 bits must cover
+        # `period` worst-case rounds (31-bit start slack + 4*obc bits/round
+        # + the last lane's word reach)
+        return {0: 4, 30: 4, 64: 2}[self.ob_class]
 
     @property
     def mid_off_vregs(self):  # 128-word vregs in the per-batch offset mid
-        return {0: 0, 30: 2, 64: 4}[self.ob_class]
+        # must cover the batch's total offset consumption plus the final
+        # rebuild's 32-word window reach
+        return {0: 0, 30: 3, 64: 5}[self.ob_class]
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +223,13 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
     ts_tiles = schema.ts // 128
     fr = schema.fetch_rows
     obc = schema.ob_class
-    offw = schema.off_words  # 0, 8, or 12
-    n_off_vregs = offw // 4  # 0, 2, or 3
     mid_off_n = schema.mid_off_vregs
+    mid_ans_n = 2  # 256-word ANS mid: covers a batch's <=112-word drift + reach
+    period = schema.pack_period
+    # packed persistent windows: W words of each chain's stream live side by
+    # side in a row (C = 128//W chains per row, NPACK = 32//C row vregs);
+    # rebuilt every `period` rounds instead of re-gathered every round
+    ANS_WLOG, OFF_WLOG = 4, 5  # 16-word ANS windows, 32-word offset windows
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     jq = lane & 3
@@ -236,7 +238,6 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
     gmask = [(lane >> 2) == g for g in range(TILE_GROUPS)]
     # constant idx vregs: value (4g + (l&3)) at every lane (for per-group
     # replication of quad values via take_along_axis)
-    c4gj = [jnp.full((8, 128), 4 * g, jnp.int32) + jq for g in range(TILE_GROUPS)]
     c4g = [jnp.full((8, 128), 4 * g, jnp.int32) for g in range(TILE_GROUPS)]
 
     node_planes = [tbl_ref[0, 0][:, k * 128:(k + 1) * 128] for k in range(ts_tiles)]
@@ -269,14 +270,27 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
                 mids[v][g] = _tree_gather(planes, idx)
         return mids, mbase
 
-    def refill_window(cursor, mids, mbase, n_wvregs, mid_n):
-        """window vreg w: lanes 4g+j = word (cursor>>5) + 4w + j of chain."""
-        widx = _srl(cursor, 5) - mbase + jq
-        wins = []
-        for w in range(n_wvregs):
+    def build_packed(cursor, mids, mbase, wlog, mid_n):
+        """Packed windows: pack p holds, for chains g = C*p + q (C = 128>>wlog
+        chains per row), words [cursor>>5, +2^wlog) of each chain's stream at
+        lanes [q<<wlog, (q+1)<<wlog). Returns (packs, pbase) where pbase is
+        the per-lane word base the extraction indices are relative to."""
+        C = 128 >> wlog
+        n_pack = TILE_GROUPS // C
+        wm = (jnp.int32(1) << wlog) - 1
+        pbase = _srl(cursor, 5)
+        relw = pbase - mbase
+        lane_w = lane & wm
+        packs = []
+        for p in range(n_pack):
+            # owner chain of lane l in this pack: g = C*p + (l >> wlog);
+            # one gather replicates every owner's relw across its slot
+            cmap = jnp.full((8, 128), 4 * C * p, jnp.int32) + _sll(lane >> wlog, 2)
+            rep = jnp.take_along_axis(relw, cmap, axis=1)
+            gi = rep + lane_w
             acc = jnp.zeros((8, 128), jnp.int32)
-            for g in range(TILE_GROUPS):
-                gi = jnp.take_along_axis(widx, c4gj[g], axis=1) + 4 * w
+            for q in range(C):
+                g = C * p + q
                 if mid_n == 1:
                     val = jnp.take_along_axis(mids[0][g], gi & 127, axis=1)
                 else:
@@ -285,9 +299,29 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
                     for v in range(1, mid_n):
                         gv = jnp.take_along_axis(mids[v][g], gi & 127, axis=1)
                         val = jnp.where(sub == v, gv, val)
-                acc = jnp.where(gmask[g], val, acc)
-            wins.append(acc)
-        return wins
+                acc = jnp.where((lane >> wlog) == q, val, acc)
+            packs.append(acc)
+        return packs, pbase
+
+    # lane l's chain is g = l>>2; its pack is g // C = l >> (9-wlog) and its
+    # slot within the pack row starts at (g % C) << wlog
+    pmask_by_wlog = {
+        wlog: [(lane >> (9 - wlog)) == p for p in range(TILE_GROUPS // (128 >> wlog))]
+        for wlog in (ANS_WLOG, OFF_WLOG)
+    }
+    slotb_by_wlog = {
+        wlog: _sll((lane >> 2) & ((128 >> wlog) - 1), wlog)
+        for wlog in (ANS_WLOG, OFF_WLOG)
+    }
+
+    def pextract(packs, idx, wlog):
+        """Word (window-relative) idx of each lane's own chain window."""
+        wm = (jnp.int32(1) << wlog) - 1
+        gi = slotb_by_wlog[wlog] + jnp.clip(idx, jnp.int32(0), wm)
+        acc = jnp.zeros((8, 128), jnp.int32)
+        for p, m in enumerate(pmask_by_wlog[wlog]):
+            acc = jnp.where(m, jnp.take_along_axis(packs[p], gi, axis=1), acc)
+        return acc
 
     states = states0_ref[0]
     bodyn = bodyn_ref[0]
@@ -311,14 +345,15 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
     for b in range(schema.n_batches):
         anscur = curs_ref[0, 2 * b]
         offcur = curs_ref[0, 2 * b + 1]
-        mid_ans, mb_ans = rebuild_mid(anscur, 1)
+        mid_ans, mb_ans = rebuild_mid(anscur, mid_ans_n)
         if obc:
             mid_off, mb_off = rebuild_mid(offcur, mid_off_n)
-        W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
+        PANS, ABASE = build_packed(anscur, mid_ans, mb_ans, ANS_WLOG, mid_ans_n)
         if obc:
-            WOFF = refill_window(offcur, mid_off, mb_off, n_off_vregs, mid_off_n)
+            POFF, OBASE = build_packed(offcur, mid_off, mb_off, OFF_WLOG, mid_off_n)
 
-        def one_round(r, states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi):
+        def one_round(r, states, anscur, offcur, pans, abase, poff, obase,
+                      acc_lo, acc_hi):
             kpos = BATCH * b + 4 * r + jq
             valid = kpos < bodyn
 
@@ -330,14 +365,13 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
             if not schema.lat32:
                 low_hi = _tree_gather(lohi_planes, states)
 
-            # --- ANS extraction ---
+            # --- ANS extraction (from the packed persistent window) ---
             cumA = anscur + quad_excl_prefix(bits)
-            w0 = _srl(anscur, 5)
-            blocal = cumA - _sll(w0, 5)
+            blocal = cumA - _sll(abase, 5)
             kw = _srl(blocal, 5)
             sw = blocal & 31
-            loW = jnp.take_along_axis(W4, qb + kw, axis=1)
-            hiW = jnp.take_along_axis(W4, qb + jnp.minimum(kw + 1, jnp.int32(3)), axis=1)
+            loW = pextract(pans, kw, ANS_WLOG)
+            hiW = pextract(pans, kw + 1, ANS_WLOG)
             aval = _funnel(loW, hiW, sw) & ((jnp.int32(1) << bits) - 1)
             states = jnp.where(valid, nbase + aval, states)
             anscur = rep_quad_last(cumA + bits)
@@ -345,28 +379,17 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
             # --- offsets ---
             if obc:
                 cumO = offcur + quad_excl_prefix(ob)
-                # wob = word base of the current offset window (refill-time
-                # cursor >> 5); offcur itself may have advanced since refill
-                obl = cumO - _sll(wob, 5)
+                obl = cumO - _sll(obase, 5)
                 okw = _srl(obl, 5)
                 osw = obl & 31
-
-                def wget(k):
-                    val = jnp.take_along_axis(woff[0], qb + jnp.clip(k, jnp.int32(0), jnp.int32(3)), axis=1)
-                    for wv in range(1, n_off_vregs):
-                        gv = jnp.take_along_axis(
-                            woff[wv], qb + jnp.clip(k - 4 * wv, jnp.int32(0), jnp.int32(3)), axis=1)
-                        val = jnp.where(k >= 4 * wv, gv, val)
-                    return val
-
-                wA = wget(okw)
-                wB = wget(okw + 1)
+                wA = pextract(poff, okw, OFF_WLOG)
+                wB = pextract(poff, okw + 1, OFF_WLOG)
                 off_lo = _funnel(wA, wB, osw)
                 masklo = jnp.where(ob >= 32, jnp.int32(-1),
                                    (jnp.int32(1) << jnp.minimum(ob, jnp.int32(31))) - 1)
                 off_lo = off_lo & masklo
                 if obc > 32:
-                    wC = wget(okw + 2)
+                    wC = pextract(poff, okw + 2, OFF_WLOG)
                     off_hi = _funnel(wB, wC, osw)
                     maskhi = jnp.where(
                         ob <= 32, 0,
@@ -419,39 +442,40 @@ def _decode_kernel_impl(schema: LaunchSchema, tid_ref, sec_ref, tbl_ref, curs_re
 
             return states, anscur, offcur, acc_lo, acc_hi
 
-        period = schema.off_refill_period if obc else 1
         zero = jnp.zeros((8, 128), jnp.int32)
 
         def round_body(rp, carry):
             if schema.fuse:
-                states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi = carry
+                states, anscur, offcur, pans, abase, poff, obase, acc_lo, acc_hi = carry
             else:
-                states, anscur, offcur, W4, woff, wob = carry
+                states, anscur, offcur, pans, abase, poff, obase = carry
                 acc_lo = acc_hi = zero
             for sub in range(period):
                 r = rp * period + sub
                 states, anscur, offcur, acc_lo, acc_hi = one_round(
-                    r, states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi)
-                W4 = refill_window(anscur, mid_ans, mb_ans, 1, 1)[0]
-                if obc and sub == period - 1:
-                    woff = refill_window(offcur, mid_off, mb_off,
-                                         n_off_vregs, mid_off_n)
-                    wob = _srl(offcur, 5)
+                    r, states, anscur, offcur, pans, abase, poff, obase,
+                    acc_lo, acc_hi)
+            pans, abase = build_packed(anscur, mid_ans, mb_ans, ANS_WLOG, mid_ans_n)
+            pans = tuple(pans)
+            if obc:
+                poff, obase = build_packed(offcur, mid_off, mb_off, OFF_WLOG, mid_off_n)
+                poff = tuple(poff)
             if schema.fuse:
-                return states, anscur, offcur, W4, woff, wob, acc_lo, acc_hi
-            return states, anscur, offcur, W4, woff, wob
+                return (states, anscur, offcur, pans, abase, poff, obase,
+                        acc_lo, acc_hi)
+            return states, anscur, offcur, pans, abase, poff, obase
 
-        init = (states, anscur, offcur, W4, WOFF if obc else zero,
-                _srl(offcur, 5) if obc else zero)
+        init = (states, anscur, offcur, tuple(PANS), ABASE,
+                tuple(POFF) if obc else (), OBASE if obc else zero)
         if schema.fuse:
             init = init + (acc_lo, acc_hi)
         assert ROUNDS_PER_BATCH % period == 0
         carry_out = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(ROUNDS_PER_BATCH // period), round_body, init)
         if schema.fuse:
-            states, anscur, offcur, W4, WOFF, _wob, acc_lo, acc_hi = carry_out
+            states, anscur, offcur, _p, _ab, _po, _ob, acc_lo, acc_hi = carry_out
         else:
-            states, anscur, offcur, W4, WOFF, _wob = carry_out
+            states, anscur, offcur, _p, _ab, _po, _ob = carry_out
 
 
 def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_ids,
