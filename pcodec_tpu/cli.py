@@ -18,11 +18,44 @@ from pcodec_tpu.codec.standalone import simple_compress, simple_decompress
 from pcodec_tpu.dtypes import NUMBER_TYPES_BY_NAME
 
 
-def load_input(path: str, dtype: str = None) -> np.ndarray:
+def load_input(path: str, dtype: str = None, col: str = None) -> np.ndarray:
+    """Input layer: npy / csv / txt / parquet / wav / raw binary
+    (ref: pco_cli/src/input/mod.rs:46-60 — Binary/Csv/Parquet/Wav readers)."""
     if path.endswith(".npy"):
         return np.load(path)
     if path.endswith(".csv") or path.endswith(".txt"):
-        return np.loadtxt(path, dtype=NUMBER_TYPES_BY_NAME[dtype].np_dtype if dtype else np.float64)
+        kw = {}
+        if col is not None:
+            import csv as _csv
+
+            with open(path, newline="") as f:
+                header = next(_csv.reader(f))
+            kw = {"usecols": [header.index(col)], "skiprows": 1}
+        return np.loadtxt(
+            path,
+            dtype=NUMBER_TYPES_BY_NAME[dtype].np_dtype if dtype else np.float64,
+            delimiter="," if path.endswith(".csv") else None,
+            **kw,
+        )
+    if path.endswith(".parquet") or path.endswith(".pq"):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path, columns=[col] if col else None)
+        if col is None:
+            numeric = [
+                f.name for f in table.schema
+                if np.issubdtype(np.dtype(f.type.to_pandas_dtype()), np.number)
+            ]
+            if not numeric:
+                raise SystemExit("no numeric columns in parquet file; use --col")
+            col = numeric[0]
+        arr = table.column(col).to_numpy(zero_copy_only=False)
+        return np.ascontiguousarray(arr)
+    if path.endswith(".wav"):
+        from scipy.io import wavfile
+
+        _, samples = wavfile.read(path)
+        return np.ascontiguousarray(samples.reshape(-1))
     if dtype is None:
         raise SystemExit("--dtype is required for raw binary inputs")
     return np.fromfile(path, dtype=NUMBER_TYPES_BY_NAME[dtype].np_dtype)
@@ -65,7 +98,7 @@ def build_config(args) -> ChunkConfig:
 
 
 def cmd_compress(args):
-    nums = load_input(args.input, args.dtype)
+    nums = load_input(args.input, args.dtype, getattr(args, "col", None))
     config = build_config(args)
     t0 = time.perf_counter()
     if getattr(args, "format", "pco") == "pct":
@@ -165,7 +198,7 @@ def _bench_codecs(config):
 
 def cmd_bench(args):
     if args.input:
-        nums = load_input(args.input, args.dtype)
+        nums = load_input(args.input, args.dtype, getattr(args, "col", None))
         name = args.input
     else:
         rng = np.random.default_rng(0)
@@ -234,6 +267,7 @@ def main(argv=None):
                         help="auto|none|consecutive:K|lookback|conv1:K")
         sp.add_argument("--chunk-n", type=int, default=1 << 18)
         sp.add_argument("--dtype", default=None, help="i32/i64/u32/u64/f32/f64/...")
+        sp.add_argument("--col", default=None, help="column name (csv/parquet inputs)")
 
     sp = sub.add_parser("compress", help="compress a column of numbers to .pco/.pct")
     common(sp)

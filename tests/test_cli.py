@@ -67,3 +67,27 @@ def test_inspect_container_accounting(tmp_path):
     rep0 = inspect_file(container_compress(np.array([], dtype=np.int64)))
     assert rep0.n_chunks == 0 and rep0.total_n == 0
     assert rep0.header_bytes == rep0.total_bytes
+
+
+def test_cli_input_formats(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from scipy.io import wavfile
+
+    vals = np.cumsum(np.random.default_rng(3).integers(0, 9, 1000)).astype(np.int64)
+    pq.write_table(pa.table({"name": ["x"] * 1000, "vals": vals}), str(tmp_path / "t.parquet"))
+    main(["compress", str(tmp_path / "t.parquet"), str(tmp_path / "t.pco")])
+    main(["decompress", str(tmp_path / "t.pco"), str(tmp_path / "t.npy")])
+    np.testing.assert_array_equal(np.load(tmp_path / "t.npy"), vals)
+
+    samples = (np.sin(np.arange(4000) / 30.0) * 10000).astype(np.int16)
+    wavfile.write(str(tmp_path / "a.wav"), 16000, samples)
+    main(["compress", str(tmp_path / "a.wav"), str(tmp_path / "a.pco")])
+    main(["decompress", str(tmp_path / "a.pco"), str(tmp_path / "a.npy")])
+    np.testing.assert_array_equal(np.load(tmp_path / "a.npy"), samples)
+
+    (tmp_path / "c.csv").write_text("ts,val\n" + "".join(f"{i},{i * 3}\n" for i in range(100)))
+    main(["compress", str(tmp_path / "c.csv"), str(tmp_path / "c.pco"),
+          "--col", "val", "--dtype", "i64"])
+    main(["decompress", str(tmp_path / "c.pco"), str(tmp_path / "c.npy")])
+    np.testing.assert_array_equal(np.load(tmp_path / "c.npy"), np.arange(100) * 3)
