@@ -27,13 +27,11 @@ def calc_sample_n(n: int):
     return None
 
 
-def choose_sample_indices(n: int, keep_mask=None):
-    """Indices of the reference-identical sample, in draw order.
+def sample_draws(n: int):
+    """(draws, is_first, target) of the deterministic draw stream, or None.
 
-    Vectorized: the draw stream comes from the native Xoroshiro fill; the
-    visited-set semantics (skip repeat draws, accept first occurrences that
-    pass keep_mask, stop at target accepted or at the iteration limit) are
-    reproduced with an order-preserving first-occurrence mask."""
+    draws are the raw Xoroshiro picks mod n (with repeats); is_first marks
+    the first occurrence of each index in draw order."""
     target = calc_sample_n(n)
     if target is None:
         return None
@@ -55,7 +53,13 @@ def choose_sample_indices(n: int, keep_mask=None):
     np.not_equal(sorted_draws[1:], sorted_draws[:-1], out=is_first_sorted[1:])
     is_first = np.empty(limit, dtype=bool)
     is_first[order] = is_first_sorted
-    accepted = is_first if keep_mask is None else (is_first & np.asarray(keep_mask)[draws])
+    return draws, is_first, target
+
+
+def select_sample_indices(draws, is_first, target, keep_at_draws=None):
+    """The accepted sample positions given per-draw keep flags (the
+    visited-set semantics of the reference's sampler, sampling.rs:28-63)."""
+    accepted = is_first if keep_at_draws is None else (is_first & keep_at_draws)
     # stop once `target` draws have been accepted
     acc_count = np.cumsum(accepted)
     cut = np.searchsorted(acc_count, target, side="left") + 1
@@ -63,6 +67,16 @@ def choose_sample_indices(n: int, keep_mask=None):
     if len(res) >= MIN_SAMPLE:
         return res
     return None
+
+
+def choose_sample_indices(n: int, keep_mask=None):
+    """Indices of the reference-identical sample, in draw order."""
+    d = sample_draws(n)
+    if d is None:
+        return None
+    draws, is_first, target = d
+    keep = None if keep_mask is None else np.asarray(keep_mask)[draws]
+    return select_sample_indices(draws, is_first, target, keep)
 
 
 def choose_sample(vals: np.ndarray, keep_mask=None):

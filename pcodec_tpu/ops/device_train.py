@@ -41,9 +41,9 @@ U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: int) -> bool:
     """Chunks the device-train path covers; everything else falls back to the
-    host pipeline (same output, slower)."""
-    if nt.kind == "float":
-        return False  # float split needs softfloat arithmetic; host for now
+    host pipeline (same output, slower). Floats are covered when Classic wins
+    the mode auction (FloatMult/FloatQuant splits stay host: multi-latent-var
+    output and softfloat arithmetic)."""
     if config.mode_spec.kind not in (ModeSpec.AUTO, ModeSpec.CLASSIC):
         return False
     if config.delta_spec.kind not in (
@@ -71,12 +71,30 @@ def _phase_latents(nums_dev, mode_idx, delta_idx, kind, mid, total_rows, page_n)
     lat = jax.lax.bitcast_convert_type(nums_dev, udt)
     if kind == "signed":
         lat = lat ^ udt(mid)
+    elif kind == "float":
+        # sign-bit-toggle bijection (ref: data_types/float.rs:396-416)
+        sign = udt(mid)
+        neg = (lat & sign) != 0
+        lat = jnp.where(neg, ~lat, lat ^ sign)
     lat = lat.astype(jnp.uint64)
     mode_s = lat[mode_idx]
     delta_s = lat[delta_idx]
     pad = total_rows * page_n - lat.shape[0]
     lat2d = jnp.pad(lat, (0, pad)).reshape(total_rows, page_n)
     return lat2d, mode_s, delta_s
+
+
+@partial(jax.jit, static_argnames=("mid", "exp_mask", "max_bits"))
+def _phase_float_keep(nums_dev, draw_idx, mid, exp_mask, max_bits):
+    """Per-draw keep flags for the float mode sample: normal floats with
+    |x| <= the sampling cap (compress.py _is_normal/_max_for_sampling).
+    Pure integer ops — positive IEEE floats order like their bits."""
+    bits = nums_dev.dtype.itemsize * 8
+    udt = {16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[bits]
+    b = jax.lax.bitcast_convert_type(nums_dev, udt)[draw_idx]
+    ab = b & udt(mid - 1)
+    exp = b & udt(exp_mask)
+    return (exp != 0) & (exp != udt(exp_mask)) & (ab <= udt(max_bits))
 
 
 @partial(jax.jit, static_argnames=("max_order", "n_chunks", "rows_per_chunk",
@@ -229,19 +247,71 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
     # ---- deterministic sample indices (uniform chunks share them) ----
     level = config.compression_level
+    lt = nt.latent
+    if nt.kind == "float":
+        # the device only ever needs the raw BITS (bijection/keep are integer
+        # ops) and the TPU x64 rewriter can't bitcast f64 -> u64 on device
+        if not isinstance(nums, np.ndarray):
+            return None  # device-resident float input: host pipeline
+        idt = {16: np.int16, 32: np.int32, 64: np.int64}[lt.bits]
+        nums_dev = jnp.asarray(nums.view(idt))
+    else:
+        nums_dev = jnp.asarray(nums)
+    is_float_auto = nt.kind == "float" and config.mode_spec.kind == ModeSpec.AUTO
+
+    # float mode sampling: accepted draws depend on per-draw keep flags
+    # (normal floats below the sampling cap), fetched in a pre-pass
+    draws_cache: Dict[int, object] = {}
+    keep_by_chunk: List[Optional[np.ndarray]] = [None] * n_chunks
+    if is_float_auto:
+        draw_idx_parts, draw_spans = [], []
+        pos = 0
+        start = 0
+        for cn in chunk_ns:
+            if cn not in draws_cache:
+                draws_cache[cn] = sampling.sample_draws(cn)
+            d = draws_cache[cn]
+            ln = 0 if d is None else len(d[0])
+            draw_spans.append((pos, ln))
+            if ln:
+                draw_idx_parts.append(d[0] + start)
+            pos += ln
+            start += cn
+        if draw_idx_parts:
+            mx = np.abs(np.asarray(cmp._max_for_sampling(nt), dtype=nt.np_dtype))
+            max_bits = int(mx.view(lt.np_dtype))
+            exp_mask = ((1 << (lt.bits - nt.precision_bits - 1)) - 1) << nt.precision_bits
+            keep_all = np.asarray(_phase_float_keep(
+                nums_dev, jnp.asarray(np.concatenate(draw_idx_parts)),
+                mid=int(lt.mid), exp_mask=exp_mask, max_bits=max_bits,
+            ))
+            for ci2 in range(n_chunks):
+                a, m = draw_spans[ci2]
+                keep_by_chunk[ci2] = keep_all[a : a + m] if m else None
+
     idx_cache: Dict[int, np.ndarray] = {}
     dslice_cache: Dict[int, list] = {}
     mode_idx_parts, delta_idx_parts = [], []
     mode_spans, delta_spans = [], []
     start = 0
-    for cn in chunk_ns:
-        if cn not in idx_cache:
-            mi = sampling.choose_sample_indices(cn)
-            idx_cache[cn] = mi if mi is not None else np.zeros(0, dtype=np.int64)
+    for ci2, cn in enumerate(chunk_ns):
+        if cn not in dslice_cache:
             dslice_cache[cn] = cmp.delta_sample_slices(
                 cn, cmp.DELTA_GROUP_SIZE, 1 + cn // cmp.N_PER_EXTRA_DELTA_GROUP
             )
-        mi = idx_cache[cn]
+        if is_float_auto:
+            d = draws_cache[cn]
+            mi = None
+            if d is not None and keep_by_chunk[ci2] is not None:
+                mi = sampling.select_sample_indices(
+                    d[0], d[1], d[2], keep_by_chunk[ci2]
+                )
+            mi = mi if mi is not None else np.zeros(0, dtype=np.int64)
+        else:
+            if cn not in idx_cache:
+                mi0 = sampling.choose_sample_indices(cn)
+                idx_cache[cn] = mi0 if mi0 is not None else np.zeros(0, dtype=np.int64)
+            mi = idx_cache[cn]
         mode_spans.append((sum(len(p) for p in mode_idx_parts), len(mi)))
         mode_idx_parts.append(mi + start)
         dsl = dslice_cache[cn]
@@ -256,7 +326,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
     # ---- phase A: bijection + samples ----
     lat2d, mode_s_dev, delta_s_dev = _phase_latents(
-        jnp.asarray(nums),
+        nums_dev,
         jnp.asarray(mode_idx),
         jnp.asarray(delta_idx),
         kind=nt.kind,
@@ -266,7 +336,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     )
     # samples come back u64-widened; decisions are latent-width sensitive
     # (wrapping diffs in the delta sample compressions), so narrow first
-    lt = nt.latent
     mode_samples = np.asarray(mode_s_dev).astype(lt.np_dtype)
     delta_samples = np.asarray(delta_s_dev).astype(lt.np_dtype)
 
@@ -276,13 +345,25 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
     for ci, cn in enumerate(chunk_ns):
         ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
-        if config.mode_spec.kind == ModeSpec.AUTO:
+        if is_float_auto:
+            a, m = mode_spans[ci]
+            if m:
+                from pcodec_tpu.modes import float_mult, float_quant
+
+                # |x| sample for the float bids; Classic only wins when
+                # neither bid clears its threshold (float.rs:83-134)
+                svals = nt.from_latent_ordered(mode_samples[a : a + m])
+                ab = np.abs(svals)
+                if float_mult.compute_bid(nt, ab) is not None:
+                    continue  # FloatMult: host pipeline (encs stays None)
+                if float_quant.compute_bid(nt, ab) is not None:
+                    continue  # FloatQuant: host pipeline
+        elif config.mode_spec.kind == ModeSpec.AUTO:
             a, m = mode_spans[ci]
             ms = mode_samples[a : a + m] if m else None
             base = int_mult.choose_base_from_sample(ms) if ms is not None and len(ms) else None
             if base is not None:
                 continue  # IntMult: host pipeline splits it (encs stays None)
-                continue
         if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
             a, m = delta_spans[ci]
             enc = cmp.choose_auto_delta_encoding_from_sample(

@@ -143,3 +143,25 @@ class TestDeviceTrain:
                 assert [(x.count, x.lower, x.upper) for x in a] == [
                     (x.count, x.lower, x.upper) for x in b
                 ], (log, len(data))
+
+    def test_float_classic_device_train(self):
+        # classic-mode floats ride the device pipeline (integer bijection);
+        # FloatMult/FloatQuant winners route to the host pipeline, all
+        # byte-identical
+        rng = np.random.default_rng(21)
+        self._dt(rng.normal(0, 1, 150_000).astype(np.float64))
+        self._dt(rng.normal(0, 1, 150_000).astype(np.float32))
+        self._dt(rng.normal(0, 1, 150_000).astype(np.float16))
+        # infinities are excluded from the mode sample but still encode
+        self._dt(np.where(rng.random(150_000) < 0.01, np.inf,
+                          rng.normal(0, 1e6, 150_000)))
+
+    def test_float_mode_winners_host_fallback(self):
+        from pcodec_tpu.ops.device_train import plan_encode_device
+
+        rng = np.random.default_rng(22)
+        decimal = (rng.integers(0, 10000, 150_000) * 0.01).astype(np.float64)
+        planned = plan_encode_device(decimal, None, 256, 131072)
+        assert planned is not None
+        assert all(kind == "host" for kind, _ in planned[3])
+        _identical(decimal, page_n=256, chunk_n=131072)
