@@ -1,0 +1,35 @@
+"""Multi-chip sharding (parallel/sharding.py) on the virtual 8-device CPU
+mesh — the same SPMD program the driver dry-runs (ref: SURVEY.md §2.5:
+data parallelism over chunks/pages is the primary scaling axis)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pcodec_tpu import ChunkConfig, DeltaSpec, PagingSpec, simple_compress
+from pcodec_tpu.parallel.sharding import make_mesh, sharded_decode_standalone
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh (conftest)"
+)
+
+
+@needs_mesh
+def test_sharded_standalone_decode_bit_exact():
+    rng = np.random.default_rng(0)
+    nums = np.cumsum(rng.integers(0, 50, 16 * 512)).astype(np.int64)
+    cfg = ChunkConfig(
+        delta_spec=DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, 1),
+        paging_spec=PagingSpec.equal_pages_up_to(512),
+    )
+    data = simple_compress(nums, cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    decoded = sharded_decode_standalone(data, mesh)
+    np.testing.assert_array_equal(np.asarray(decoded, dtype=np.int64), nums)
+
+
+@needs_mesh
+def test_mesh_shapes():
+    mesh = make_mesh(jax.devices()[:8])
+    assert mesh.devices.size == 8
