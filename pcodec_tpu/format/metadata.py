@@ -44,8 +44,13 @@ class FormatVersion:
         return fv
 
     def write_to(self, writer: BitWriter) -> None:
-        assert self.major >= 4
-        writer.write_aligned_bytes(bytes([self.major, self.minor]))
+        # Mirrors read_from: pre-v4 headers carry no minor byte. The
+        # compressor always writes the current version; older versions only
+        # occur when re-serializing parsed files.
+        if self.major >= 4:
+            writer.write_aligned_bytes(bytes([self.major, self.minor]))
+        else:
+            writer.write_aligned_bytes(bytes([self.major]))
 
     def used_old_gcds(self) -> bool:
         return self.major == 0
@@ -247,7 +252,14 @@ class DeltaEncoding:
             return cls.conv1(quantization, bias, weights)
         raise CorruptionError(f"unknown delta encoding value: {variant}")
 
-    def write_to(self, writer: BitWriter) -> None:
+    def write_to(self, writer: BitWriter, version: Optional[FormatVersion] = None) -> None:
+        if version is not None and not version.supports_delta_variants():
+            # legacy pre-v3 wire: 3-bit consecutive order only (0 = noop)
+            writer.write_uint(
+                self.order if self.kind == self.CONSECUTIVE else 0,
+                c.BITS_TO_ENCODE_DELTA_ENCODING_ORDER,
+            )
+            return
         variant = {self.NOOP: 0, self.CONSECUTIVE: 1, self.LOOKBACK: 2, self.CONV1: 3}[self.kind]
         writer.write_uint(variant, c.BITS_TO_ENCODE_DELTA_ENCODING_VARIANT)
         if self.kind == self.CONSECUTIVE:
@@ -505,9 +517,9 @@ class ChunkMeta:
         reader.drain_empty_byte("nonzero bits in end of final byte of chunk metadata")
         return cls(mode, delta_encoding, PerLatentVar(delta, primary, secondary), latent_type)
 
-    def write_to(self, writer: BitWriter) -> None:
+    def write_to(self, writer: BitWriter, version: Optional[FormatVersion] = None) -> None:
         self.mode.write_to(writer, self.number_latent_type)
-        self.delta_encoding.write_to(writer)
+        self.delta_encoding.write_to(writer, version)
         for _, var_meta in self.per_latent_var.enumerated():
             var_meta.write_to(writer)
         writer.finish_byte()

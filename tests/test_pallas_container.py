@@ -27,17 +27,23 @@ from pcodec_tpu.codec.container import (
 )
 
 
-def _roundtrip(nums, config=None, page_n=1024, chunk_n=1 << 20):
+def _roundtrip(nums, config=None, page_n=1024, chunk_n=1 << 20, device=None):
+    """Host round trip, plus the device decode when on TPU (or when asked:
+    interpret-mode kernel runs are ~30s of trace+lower each, so CPU runs
+    keep exactly one smoke case)."""
     data = container_compress(nums, config, page_n=page_n, chunk_n=chunk_n)
     host = container_decompress(data)
     assert np.array_equal(host.view(np.uint8), nums.view(np.uint8))
-    import pcodec_tpu.ops.pallas_decode as pd
+    if device is None:
+        device = _ON_TPU
+    if device:
+        import pcodec_tpu.ops.pallas_decode as pd
 
-    out, _, _ = pd.decode_container_device(data)
-    assert out.dtype == nums.dtype
-    assert np.array_equal(out.view(np.uint8), nums.view(np.uint8)), (
-        f"device mismatch: {np.count_nonzero(out != nums)}/{len(nums)}"
-    )
+        out, _, _ = pd.decode_container_device(data)
+        assert out.dtype == nums.dtype
+        assert np.array_equal(out.view(np.uint8), nums.view(np.uint8)), (
+            f"device mismatch: {np.count_nonzero(out != nums)}/{len(nums)}"
+        )
     return data
 
 
@@ -70,7 +76,7 @@ class TestContainerHost:
 class TestDeviceDecodeInterpret:
     def test_smoke_interpret(self):
         # one small end-to-end kernel correctness check that runs anywhere
-        _roundtrip(taxi_like(600), page_n=256)
+        _roundtrip(taxi_like(600), page_n=256, device=True)
 
 
 @needs_tpu
@@ -99,6 +105,24 @@ class TestDeviceDecode:
 
     def test_f32_classic(self):
         _roundtrip((RNG.standard_normal(5000) * 100).astype(np.float32))
+
+    def test_f16_classic(self):
+        # headline dtype (ref: data_types/float.rs:256-368) incl. specials
+        nums = (RNG.standard_normal(5000) * 8).astype(np.float16)
+        nums[::97] = np.float16(np.inf)
+        nums[1::211] = np.float16(-0.0)
+        nums[2::321] = np.float16(np.nan)
+        _roundtrip(nums)
+
+    def test_f16_quant(self):
+        _roundtrip(np.round(RNG.standard_normal(5000) * 16).astype(np.float16) / 16)
+
+    def test_u8_i8(self):
+        from pcodec_tpu import ChunkConfig
+
+        cfg = ChunkConfig(enable_8_bit=True)
+        _roundtrip(RNG.integers(0, 256, 5000).astype(np.uint8), cfg)
+        _roundtrip(RNG.integers(-128, 128, 5000).astype(np.int8), cfg)
 
     def test_f64_float_mult(self):
         _roundtrip((RNG.integers(0, 1000, 5000) * 0.1).astype(np.float64))

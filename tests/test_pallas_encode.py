@@ -70,6 +70,62 @@ class TestDeviceEncode:
         _identical(np.cumsum(RNG.integers(0, 90, 1025)).astype(np.int64))
 
 
+def test_histogram_extract_walk_equivalence():
+    # histogram_from_extracts == histogram on adversarial multisets (pure
+    # numpy decision layer; runs everywhere)
+    from pcodec_tpu.binning.histogram import histogram
+    from pcodec_tpu.ops.device_train import histogram_from_extracts
+
+    rng = np.random.default_rng(5)
+    for data in [
+        rng.integers(0, 10, 5000).astype(np.uint64),          # heavy runs
+        np.zeros(3000, dtype=np.uint64),                      # one run
+        rng.integers(0, 2**63, 5000).astype(np.uint64),       # distinct
+        np.repeat(rng.integers(0, 50, 100), 50).astype(np.uint64),
+        np.full(1000, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),   # all MAX
+    ]:
+        for log in (2, 5, 8):
+            nb = 1 << log
+            n = len(data)
+            s = np.sort(data)
+            j = np.arange(nb)
+            ccp = ((j + 1) * n + nb - 1) >> log
+            idx = np.minimum(ccp - 1, n - 1)
+            V = s[idx]
+            L = np.searchsorted(s, V, side="left")
+            R = np.searchsorted(s, V, side="right")
+            SL1 = s[np.maximum(L - 1, 0)]
+            SR = s[np.minimum(R, n - 1)]
+            a = histogram(data.copy(), log)
+            b = histogram_from_extracts(n, log, V, L, R, SL1, SR, s[0], s[-1])
+            assert [(x.count, x.lower, x.upper) for x in a] == [
+                (x.count, x.lower, x.upper) for x in b
+            ], (log, len(data))
+
+
+class TestDeviceTrainPlan:
+    """plan_encode_device's decision layer (routing, fallbacks) on CPU —
+    no kernel execution, so it stays fast everywhere."""
+
+    def test_routing(self):
+        from pcodec_tpu.ops.device_train import plan_encode_device
+
+        rng = np.random.default_rng(22)
+        # classic ints ride the device pipeline
+        planned = plan_encode_device(
+            np.cumsum(rng.integers(0, 120, 100_000)).astype(np.int64), None, 256, 131072)
+        assert planned is not None
+        # FloatMult winners route each chunk to the host pipeline
+        decimal = (rng.integers(0, 10000, 100_000) * 0.01).astype(np.float64)
+        planned = plan_encode_device(decimal, None, 256, 131072)
+        assert planned is not None
+        assert all(kind == "host" for kind, _ in planned[3])
+        # ragged degenerate tail falls back entirely
+        assert plan_encode_device(
+            np.arange(131072 + 3, dtype=np.int64), None, 256, 131072) is None
+
+
+@needs_tpu
 class TestDeviceTrain:
     """plan_encode_device (ops/device_train.py): the device-side training
     pipeline (bijection, page delta, sort-based histogram extraction) must
@@ -112,37 +168,6 @@ class TestDeviceTrain:
         for level in (0, 12):
             self._dt(np.cumsum(RNG.integers(0, 120, 150_000)).astype(np.int64),
                      ChunkConfig(compression_level=level))
-
-    def test_histogram_extract_walk_equivalence(self):
-        # histogram_from_extracts == histogram on adversarial multisets
-        from pcodec_tpu.binning.histogram import histogram
-        from pcodec_tpu.ops.device_train import histogram_from_extracts
-
-        rng = np.random.default_rng(5)
-        for data in [
-            rng.integers(0, 10, 5000).astype(np.uint64),          # heavy runs
-            np.zeros(3000, dtype=np.uint64),                      # one run
-            rng.integers(0, 2**63, 5000).astype(np.uint64),       # distinct
-            np.repeat(rng.integers(0, 50, 100), 50).astype(np.uint64),
-            np.full(1000, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),   # all MAX
-        ]:
-            for log in (2, 5, 8):
-                nb = 1 << log
-                n = len(data)
-                s = np.sort(data)
-                j = np.arange(nb)
-                ccp = ((j + 1) * n + nb - 1) >> log
-                idx = np.minimum(ccp - 1, n - 1)
-                V = s[idx]
-                L = np.searchsorted(s, V, side="left")
-                R = np.searchsorted(s, V, side="right")
-                SL1 = s[np.maximum(L - 1, 0)]
-                SR = s[np.minimum(R, n - 1)]
-                a = histogram(data.copy(), log)
-                b = histogram_from_extracts(n, log, V, L, R, SL1, SR, s[0], s[-1])
-                assert [(x.count, x.lower, x.upper) for x in a] == [
-                    (x.count, x.lower, x.upper) for x in b
-                ], (log, len(data))
 
     def test_float_classic_device_train(self):
         # classic-mode floats ride the device pipeline (integer bijection);
