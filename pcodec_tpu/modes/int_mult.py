@@ -87,6 +87,22 @@ def filter_score_triple_gcd(gcd: float, triples_w_gcd: int, total_triples: int):
     return worst_case_bits_saved
 
 
+def choose_candidate_from_gcd_counts(uniq, counts, n_triples: int):
+    """Score unique triple-GCD counts (ascending gcd order) and pick the
+    best candidate. Split out so device-train can feed device-reduced
+    (gcd, count) pairs without fetching the sample (ref: int_mult.rs:203)."""
+    best = None
+    for gcd_val, count in zip(uniq, counts):
+        gcd_f = float(min(int(gcd_val), (1 << 64) - 1))
+        score = filter_score_triple_gcd(gcd_f, int(count), n_triples)
+        if score is None:
+            continue
+        # ties keep the later (larger gcd) like Rust's max_by_key over i64 bits
+        if best is None or score >= best[1]:
+            best = (int(gcd_val), score)
+    return best
+
+
 def choose_candidate_base(sample: np.ndarray):
     """Returns (base, score) or None; sample is a latent array."""
     n_triples = len(sample) // 3
@@ -98,16 +114,7 @@ def choose_candidate_base(sample: np.ndarray):
     if len(gcds) == 0:
         return None
     uniq, counts = np.unique(gcds, return_counts=True)
-    best = None
-    for gcd_val, count in zip(uniq.tolist(), counts.tolist()):
-        gcd_f = float(min(int(gcd_val), (1 << 64) - 1))
-        score = filter_score_triple_gcd(gcd_f, int(count), n_triples)
-        if score is None:
-            continue
-        # ties keep the later (larger gcd) like Rust's max_by_key over i64 bits
-        if best is None or score >= best[1]:
-            best = (int(gcd_val), score)
-    return best
+    return choose_candidate_from_gcd_counts(uniq.tolist(), counts.tolist(), n_triples)
 
 
 def choose_base(nt: NumberType, nums: np.ndarray):
@@ -116,9 +123,27 @@ def choose_base(nt: NumberType, nums: np.ndarray):
     return choose_base_from_sample(sample)
 
 
+def infrequent_keep_count(primary: np.ndarray) -> int:
+    """# of sample elements whose primary value occurs <= n/256 times
+    (ref: sampling.rs:71-101 — frequent primaries are "memorizable")."""
+    n = len(primary)
+    _, inverse, counts = np.unique(primary, return_inverse=True, return_counts=True)
+    cutoff = max(1, int(n / sampling.CLASSIC_MEMORIZABLE_BINS))
+    return int(np.count_nonzero(counts[inverse] <= cutoff))
+
+
+def accept_candidate(bits_saved_per_adj: float, keep_count: int, n: int) -> bool:
+    """est_bits_saved_per_num for the constant-savings case, via the count
+    formula so the host path and device-train (which fetches only the keep
+    count) compute the identical float."""
+    est = bits_saved_per_adj * float(keep_count) / float(n)
+    return est > MULT_REQUIRED_BITS_SAVED_PER_NUM
+
+
 def choose_base_from_sample(sample):
     """choose_base given the already-gathered latent sample (the decision
-    is a pure function of the sample; device-train fetches only this)."""
+    is a pure function of the sample; device-train fetches only the
+    device-reduced GCD counts and keep count)."""
     if sample is None:
         return None
     cand = choose_candidate_base(sample)
@@ -126,7 +151,6 @@ def choose_base_from_sample(sample):
         return None
     candidate, bits_saved_per_adj = cand
     primary = sample // sample.dtype.type(candidate)
-    bits_saved = np.full(len(sample), bits_saved_per_adj)
-    if sampling.est_bits_saved_per_num(primary, bits_saved) > MULT_REQUIRED_BITS_SAVED_PER_NUM:
+    if accept_candidate(bits_saved_per_adj, infrequent_keep_count(primary), len(sample)):
         return candidate
     return None

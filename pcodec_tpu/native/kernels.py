@@ -62,6 +62,33 @@ def optimize_bins_dp(c_counts, lowers, uppers, bin_meta_cost, total_count_log2):
     return best_js, np.float32(best_cost.value)
 
 
+_lib.pco_histogram_walk.restype = ctypes.c_longlong
+_lib.pco_histogram_walk.argtypes = [
+    ctypes.c_longlong, ctypes.c_int, _u64p, _i64p, _i64p, _u64p, _u64p,
+    ctypes.c_uint64, ctypes.c_uint64, _u64p, _u64p, _u64p,
+]
+
+
+def histogram_walk(n, n_bins_log, V, L, R, SL1, SR, s0, slast):
+    """Returns (counts, lowers, uppers) u64 arrays of the quantile walk."""
+    nb = 1 << n_bins_log
+    counts = np.empty(nb, dtype=np.uint64)
+    lowers = np.empty(nb, dtype=np.uint64)
+    uppers = np.empty(nb, dtype=np.uint64)
+    n_out = _lib.pco_histogram_walk(
+        n, n_bins_log,
+        np.ascontiguousarray(V, dtype=np.uint64).ctypes.data_as(_u64p),
+        np.ascontiguousarray(L, dtype=np.int64).ctypes.data_as(_i64p),
+        np.ascontiguousarray(R, dtype=np.int64).ctypes.data_as(_i64p),
+        np.ascontiguousarray(SL1, dtype=np.uint64).ctypes.data_as(_u64p),
+        np.ascontiguousarray(SR, dtype=np.uint64).ctypes.data_as(_u64p),
+        ctypes.c_uint64(s0), ctypes.c_uint64(slast),
+        counts.ctypes.data_as(_u64p), lowers.ctypes.data_as(_u64p),
+        uppers.ctypes.data_as(_u64p),
+    )
+    return counts[:n_out], lowers[:n_out], uppers[:n_out]
+
+
 _lib.pco_xoroshiro_fill.restype = None
 _lib.pco_xoroshiro_fill.argtypes = [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_longlong, _u64p]
 
@@ -90,7 +117,7 @@ _lib.pco_decode_page_pre_delta.argtypes = [
     _u8p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
     _vpp, _vpp, _u32p, _i64p, ctypes.c_longlong,
     ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), _u64p, _i64p,
-    _vpp, _i64p,
+    _vpp, _i64p, _i64p, _u32p,
 ]
 
 
@@ -180,12 +207,18 @@ def ans_encode_reverse(symbols: np.ndarray, ans_vals: np.ndarray, ans_bits: np.n
     return final_states.tolist()
 
 
-def decode_page_pre_delta(reader, n: int, var_specs):
+def decode_page_pre_delta(reader, n: int, var_specs, capture: bool = False):
     """Decode a whole page's pre-delta latents in one native call.
 
     var_specs: list of dicts with keys cld (ChunkLatentDecompressor),
     pld (PageLatentDecompressor), state_n, is_delta. Returns (latents u64
     arrays per var, new bit index); raises on truncation via caller check.
+
+    capture=True additionally returns (batch_cursors i64[n_batches, n_vars,
+    2] of absolute (ans_start, off_start) bit positions, batch_states
+    u32[n_batches, n_vars, 4] ANS entry state idxs) — the per-batch chain
+    entry points the device-chain planner (ops/pallas_decode.plan_standalone)
+    feeds the Pallas kernels with.
     """
     n_vars = len(var_specs)
     nodes_arr = (ctypes.c_void_p * n_vars)()
@@ -220,6 +253,15 @@ def decode_page_pre_delta(reader, n: int, var_specs):
     primary_state_n = next(
         spec["state_n"] for spec in var_specs if spec["key"] == "primary"
     )
+    n_batches = -(-n // 256)
+    if capture:
+        batch_cursors = np.zeros((n_batches, n_vars, 2), dtype=np.int64)
+        batch_states = np.zeros((n_batches, n_vars, 4), dtype=np.uint32)
+        cur_p = _ptr(batch_cursors, ctypes.c_int64)
+        st_p = _ptr(batch_states, ctypes.c_uint32)
+    else:
+        cur_p = ctypes.cast(None, _i64p)
+        st_p = ctypes.cast(None, _u32p)
     new_bit = _lib.pco_decode_page_pre_delta(
         _ptr(reader.src, ctypes.c_uint8),
         8 * reader.size,
@@ -237,9 +279,13 @@ def decode_page_pre_delta(reader, n: int, var_specs):
         _ptr(single_ob, ctypes.c_int64),
         out_arr,
         _ptr(out_counts, ctypes.c_int64),
+        cur_p,
+        st_p,
     )
     for v, spec in enumerate(var_specs):
         spec["pld"].ans_state_idxs = states[4 * v : 4 * v + 4].tolist()
+    if capture:
+        return outs, out_counts, int(new_bit), batch_cursors, batch_states
     return outs, out_counts, int(new_bit)
 
 

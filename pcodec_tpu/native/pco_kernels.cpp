@@ -286,11 +286,17 @@ long long pco_decode_page_pre_delta(
     const uint64_t* single_lower,      // per var: lower when n_bins <= 1
     const int64_t* single_ob,          // per var: offset bits when n_bins == 1
     uint64_t* const* out_latents,      // per var, capacity body_n (+pad 256)
-    long long* out_counts) {           // per var: latents written
+    long long* out_counts,             // per var: latents written
+    // optional per-(batch, var) capture for the device-chain planner
+    // (pass nullptrs to skip): cursors = (ans_start_bit, off_start_bit)
+    // pairs, states = the 4 ANS state idxs at each batch entry
+    int64_t* out_batch_cursors,        // [ceil(n/256) * n_vars * 2] or null
+    uint32_t* out_batch_states) {      // [ceil(n/256) * n_vars * 4] or null
   long long n_remaining = n;
   for (int v = 0; v < n_vars; v++) out_counts[v] = 0;
 
   int64_t ob_scratch[256];
+  long long batch_i = 0;
   while (n_remaining > 0) {
     long long batch_n = n_remaining < 256 ? n_remaining : 256;
     for (int v = 0; v < n_vars; v++) {
@@ -308,7 +314,17 @@ long long pco_decode_page_pre_delta(
         if (avail < 0) avail = 0;
         limit = avail < 256 ? avail : 256;
       }
-      if (limit == 0) continue;
+      if (out_batch_states) {
+        for (int s = 0; s < 4; s++)
+          out_batch_states[(batch_i * n_vars + v) * 4 + s] = states[4 * v + s];
+      }
+      if (out_batch_cursors)
+        out_batch_cursors[(batch_i * n_vars + v) * 2] = bit_idx;
+      if (limit == 0) {
+        if (out_batch_cursors)
+          out_batch_cursors[(batch_i * n_vars + v) * 2 + 1] = bit_idx;
+        continue;
+      }
       uint64_t* dst = out_latents[v] + out_counts[v];
       if (n_bins[v] > 1) {
         bit_idx = pco_ans_decode_batch(
@@ -320,11 +336,14 @@ long long pco_decode_page_pre_delta(
           ob_scratch[i] = single_ob[v];
         }
       }
+      if (out_batch_cursors)
+        out_batch_cursors[(batch_i * n_vars + v) * 2 + 1] = bit_idx;
       pco_read_offsets_u64(src, bit_idx, (int)limit, ob_scratch, dst);
       for (long long i = 0; i < limit; i++) bit_idx += ob_scratch[i];
       out_counts[v] += limit;
     }
     n_remaining -= batch_n;
+    batch_i++;
   }
   return bit_idx;
 }
@@ -391,6 +410,85 @@ extern "C" void pco_optimize_bins_dp(
   }
   *best_cost_out = best_costs[n];
   delete[] best_costs;
+}
+
+// The quantile-histogram walk driven by per-bin quantile extracts
+// (V/L/R/SL1/SR arrays from the device sort; see ops/device_train.py
+// histogram_from_extracts and ref: histograms.rs:132-206). Pure integer
+// logic; must match the Python builder exactly, including dropped trailing
+// incompletes. Returns the number of emitted bins.
+extern "C" long long pco_histogram_walk(
+    long long n, int n_bins_log,
+    const uint64_t* V, const int64_t* L, const int64_t* R,
+    const uint64_t* SL1, const uint64_t* SR, uint64_t s0, uint64_t slast,
+    uint64_t* counts_out, uint64_t* lowers_out, uint64_t* uppers_out) {
+  if (n == 0) return 0;
+  const long long n_bins = 1LL << n_bins_log;
+  long long n_applied = 0, next_avail_bin_idx = 0, n_out = 0;
+  bool has_inc = false;
+  uint64_t inc_count = 0, inc_lower = 0, inc_upper = 0;
+  auto bin_idx_of = [&](long long c_count) {
+    return (c_count << n_bins_log) / n;
+  };
+  auto c_count_of = [&](long long bin_idx) {
+    return ((bin_idx + 1) * n + n_bins - 1) >> n_bins_log;
+  };
+  auto apply_incomplete = [&](long long count, uint64_t lower, uint64_t upper) {
+    if (count == 0) return;
+    if (has_inc) {
+      inc_count += count;
+      inc_upper = upper;
+    } else {
+      has_inc = true;
+      inc_count = count;
+      inc_lower = lower;
+      inc_upper = upper;
+    }
+    n_applied += count;
+  };
+  auto complete_bin = [&](long long bin_idx) {
+    if (!has_inc) return false;
+    next_avail_bin_idx = bin_idx + 1;
+    counts_out[n_out] = inc_count;
+    lowers_out[n_out] = inc_lower;
+    uppers_out[n_out] = inc_upper;
+    n_out++;
+    has_inc = false;
+    return true;
+  };
+  auto apply_constant_run = [&](long long count, uint64_t value) {
+    long long start = n_applied;
+    long long mid = start + count / 2;
+    long long end = start + count;
+    long long bin_idx = bin_idx_of(mid);
+    if (bin_idx > next_avail_bin_idx) {
+      long long spare = bin_idx - 1;
+      if (!complete_bin(spare)) bin_idx = spare;
+    }
+    apply_incomplete(count, value, value);
+    if (end >= c_count_of(bin_idx)) complete_bin(bin_idx);
+  };
+
+  long long pos = 0;
+  uint64_t cur_lower = s0;
+  while (pos < n) {
+    long long j = bin_idx_of(n_applied);
+    long long tcc = c_count_of(j);
+    long long ti = tcc - pos;
+    if (ti >= n - pos) {
+      apply_incomplete(n - pos, cur_lower, slast);
+      if (ti == n - pos) complete_bin(j);
+      break;
+    }
+    uint64_t tx = V[j];
+    long long l = L[j] > pos ? L[j] : pos;
+    long long r = R[j];
+    if (l > pos) apply_incomplete(l - pos, cur_lower, SL1[j]);
+    apply_constant_run(r - l, tx);
+    pos = r;
+    cur_lower = SR[j];
+  }
+  return n_out;
 }
 
 }  // extern "C"

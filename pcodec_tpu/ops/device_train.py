@@ -84,6 +84,83 @@ def _phase_latents(nums_dev, mode_idx, delta_idx, kind, mid, total_rows, page_n)
     return lat2d, mode_s, delta_s
 
 
+def _gcd_u64(a, b):
+    """Vectorized Euclid on u64 arrays (exact on TPU; integer ops only)."""
+
+    def cond(st):
+        return jnp.any(st[1] != 0)
+
+    def body(st):
+        x, y = st
+        safe = jnp.where(y == 0, jnp.uint64(1), y)
+        return jnp.where(y != 0, y, x), jnp.where(y != 0, x % safe, jnp.uint64(0))
+
+    a, b = jax.lax.while_loop(cond, body, (a, b))
+    return a
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "m_max", "k"))
+def _phase_int_gcd(mode_s, starts, lens, n_chunks, m_max, k):
+    """Triple-GCD screening for IntMult, reduced on device.
+
+    Per chunk: sort sample triples, gcd the two diffs (int_mult.rs:114-136),
+    and return the unique gcds>1 with counts (ascending, padded to k) so the
+    host only fetches O(n_chunks * k) instead of the full mode sample.
+    Returns (vals u64, cnts i32, n_unique i32)."""
+    pos = jnp.arange(m_max, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(starts[:, None] + pos, 0, mode_s.shape[0] - 1)
+    valid = pos < lens[:, None]
+    sm = jnp.where(valid, mode_s[idx], jnp.uint64(0))
+    nt3 = m_max // 3
+    t = sm[:, : nt3 * 3].reshape(n_chunks, nt3, 3)
+    tvalid = valid[:, : nt3 * 3].reshape(n_chunks, nt3, 3).all(axis=2)
+    lo = jnp.min(t, axis=2)
+    hi = jnp.max(t, axis=2)
+    mid = jnp.sum(t, axis=2) - lo - hi
+    g = _gcd_u64(mid - lo, hi - lo)
+    g = jnp.where(tvalid & (g > 1), g, jnp.uint64(0))
+    gs = jnp.sort(g, axis=1)  # zeros (filtered) sort first
+    nonzero = gs != 0
+    is_start = nonzero & jnp.concatenate(
+        [jnp.ones((n_chunks, 1), bool), gs[:, 1:] != gs[:, :-1]], axis=1
+    )
+    uidx = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    u = jnp.where(nonzero, jnp.minimum(uidx, k), k)  # slot k = overflow drop
+    flat = (jnp.arange(n_chunks, dtype=jnp.int32)[:, None] * (k + 1) + u).reshape(-1)
+    cnts = (
+        jnp.zeros(n_chunks * (k + 1), jnp.int32)
+        .at[flat]
+        .add(nonzero.astype(jnp.int32).reshape(-1))
+        .reshape(n_chunks, k + 1)[:, :k]
+    )
+    vals = (
+        jnp.zeros(n_chunks * (k + 1), jnp.uint64)
+        .at[flat]
+        .add(jnp.where(is_start, gs, jnp.uint64(0)).reshape(-1))
+        .reshape(n_chunks, k + 1)[:, :k]
+    )
+    n_unique = jnp.sum(is_start.astype(jnp.int32), axis=1)
+    return vals, cnts, n_unique
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "m_max"))
+def _phase_int_est(mode_s, starts, lens, bases, cutoffs, n_chunks, m_max):
+    """Keep-count for the est_bits_saved acceptance test: # of sample
+    elements whose primary (latent // base) occurs <= cutoff times
+    (sampling.rs:71-101). bases >= 2, so the U64 MAX pad never collides
+    with a real primary."""
+    pos = jnp.arange(m_max, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(starts[:, None] + pos, 0, mode_s.shape[0] - 1)
+    valid = pos < lens[:, None]
+    prim = jnp.where(valid, mode_s[idx] // bases[:, None], U64_MAX)
+    ps = jnp.sort(prim, axis=1)
+    left = jax.vmap(partial(jnp.searchsorted, side="left"))(ps, ps)
+    right = jax.vmap(partial(jnp.searchsorted, side="right"))(ps, ps)
+    runlen = (right - left).astype(jnp.int32)
+    keep = (runlen <= cutoffs[:, None]) & (pos < lens[:, None])
+    return jnp.sum(keep.astype(jnp.int32), axis=1)
+
+
 @partial(jax.jit, static_argnames=("mid", "exp_mask", "max_bits"))
 def _phase_float_keep(nums_dev, draw_idx, mid, exp_mask, max_bits):
     """Per-draw keep flags for the float mode sample: normal floats with
@@ -156,6 +233,73 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
     return out, moments, v, left, right, sl1, sr, s0
 
 
+_GCD_K = 256  # unique-GCD slots per chunk fetched from device
+
+
+def _int_bases_device(mode_s_dev, mode_spans, chunk_ns, lt) -> Dict[int, int]:
+    """IntMult screening without fetching the mode sample: device triple-GCD
+    unique counts -> host scoring (small exact f64 math) -> one batched
+    device keep-count pass for surviving candidates. Returns {ci: base}.
+    Matches int_mult.choose_base_from_sample exactly; chunks whose unique
+    GCD count overflows the fetch window fall back to a sample fetch."""
+    n_chunks = len(chunk_ns)
+    starts = np.array([a for a, _ in mode_spans], dtype=np.int32)
+    lens = np.array([m for _, m in mode_spans], dtype=np.int32)
+    m_max = int(lens.max()) if n_chunks else 0
+    if m_max < 3:
+        return {}
+    vals_d, cnts_d, nuniq_d = _phase_int_gcd(
+        mode_s_dev, jnp.asarray(starts), jnp.asarray(lens),
+        n_chunks=n_chunks, m_max=m_max, k=_GCD_K,
+    )
+    vals = np.asarray(vals_d)
+    cnts = np.asarray(cnts_d)
+    nuniq = np.asarray(nuniq_d)
+
+    bases: Dict[int, int] = {}
+    cands: Dict[int, tuple] = {}
+    for ci in range(n_chunks):
+        m = int(lens[ci])
+        n_triples = m // 3
+        if n_triples == 0:
+            continue
+        if nuniq[ci] > _GCD_K:  # pathological many distinct GCDs: fetch sample
+            a = int(starts[ci])
+            ms = np.asarray(mode_s_dev[a : a + m]).astype(lt.np_dtype)
+            base = int_mult.choose_base_from_sample(ms)
+            if base is not None:
+                bases[ci] = base
+            continue
+        nu = int(nuniq[ci])
+        cand = int_mult.choose_candidate_from_gcd_counts(
+            vals[ci, :nu].tolist(), cnts[ci, :nu].tolist(), n_triples
+        )
+        if cand is not None:
+            cands[ci] = cand
+    if cands:
+        sel = sorted(cands)
+        cutoffs = np.array(
+            [max(1, int(int(lens[ci]) / sampling.CLASSIC_MEMORIZABLE_BINS)) for ci in sel],
+            dtype=np.int32,
+        )
+        kc = np.asarray(
+            _phase_int_est(
+                mode_s_dev,
+                jnp.asarray(starts[sel]),
+                jnp.asarray(lens[sel]),
+                jnp.asarray(np.array([cands[ci][0] for ci in sel], dtype=np.uint64)),
+                jnp.asarray(cutoffs),
+                n_chunks=len(sel),
+                m_max=m_max,
+            )
+        )
+        for i, ci in enumerate(sel):
+            candidate, score = cands[ci]
+            if int_mult.accept_candidate(score, int(kc[i]), int(lens[ci])):
+                bases[ci] = candidate
+    return bases
+
+
 # ---------------------------------------------------------------------------
 # host histogram walk from device extracts
 # ---------------------------------------------------------------------------
@@ -167,6 +311,18 @@ def histogram_from_extracts(n, n_bins_log, V, L, R, SL1, SR, s0, slast):
     array. Produces exactly histogram(latents, n_bins_log)."""
     if n == 0:
         return []
+    try:
+        from pcodec_tpu.native import kernels as _nk
+    except Exception:
+        _nk = None
+    if _nk is not None:
+        counts, lowers, uppers = _nk.histogram_walk(
+            int(n), int(n_bins_log), V, L, R, SL1, SR, int(s0), int(slast)
+        )
+        return [
+            HistogramBin(int(cc), int(lo), int(up))
+            for cc, lo, up in zip(counts.tolist(), lowers.tolist(), uppers.tolist())
+        ]
     b = _Builder(n, n_bins_log)
     pos = 0
     cur_lower = int(s0)
@@ -335,9 +491,18 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         page_n=page_n,
     )
     # samples come back u64-widened; decisions are latent-width sensitive
-    # (wrapping diffs in the delta sample compressions), so narrow first
-    mode_samples = np.asarray(mode_s_dev).astype(lt.np_dtype)
+    # (wrapping diffs in the delta sample compressions), so narrow first.
+    # The full mode sample (~n/40 latents, the dominant host<->device
+    # transfer) is only fetched for float auto-mode bids; int IntMult
+    # screening runs on device and fetches O(chunks * 256) GCD counts.
     delta_samples = np.asarray(delta_s_dev).astype(lt.np_dtype)
+    is_int_auto = nt.kind != "float" and config.mode_spec.kind == ModeSpec.AUTO
+    mode_samples = (
+        np.asarray(mode_s_dev).astype(lt.np_dtype) if is_float_auto else None
+    )
+    int_bases: Dict[int, int] = (
+        _int_bases_device(mode_s_dev, mode_spans, chunk_ns, lt) if is_int_auto else {}
+    )
 
     # ---- host decisions per chunk ----
     orders = np.zeros(n_chunks, dtype=np.int32)
@@ -358,11 +523,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     continue  # FloatMult: host pipeline (encs stays None)
                 if float_quant.compute_bid(nt, ab) is not None:
                     continue  # FloatQuant: host pipeline
-        elif config.mode_spec.kind == ModeSpec.AUTO:
-            a, m = mode_spans[ci]
-            ms = mode_samples[a : a + m] if m else None
-            base = int_mult.choose_base_from_sample(ms) if ms is not None and len(ms) else None
-            if base is not None:
+        elif is_int_auto:
+            if ci in int_bases:
                 continue  # IntMult: host pipeline splits it (encs stays None)
         if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
             a, m = delta_spans[ci]
