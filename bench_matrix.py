@@ -1,0 +1,191 @@
+"""Device-decode benchmark matrix over the five BASELINE.json configs
+(plus a dict-mode config), each timed on real TPU hardware and
+byte-compared against the host decoder (one-time readback).
+
+Configs (BASELINE.json "configs", structure preserved, scaled so the
+~26 ms dispatch floor does not dominate):
+  1. standalone classic i64 taxi-like ints, delta order 1
+  2. f64 time-series classic auto-delta, multi-chunk standalone
+  3. IntMult i64 timestamps (multiples of 1e9 + small adjustments)
+  4. FloatMult f32 + FloatQuant f16 sensor data
+  5. wrapped (PCT) multi-page lookback with per-page state
+  6. dict-mode i64 (few distinct values)
+
+Timing protocol (NOTES.md): compressed data device-resident; the jitted
+decode reduces to an 8-byte checksum that is fetched to force completion
+(block_until_ready does not block through the axon tunnel). Plans are
+host-side and cached — the standalone format requires a host boundary walk
+by design (the wrapped format delegates ranges to outer containers).
+
+Writes BENCH_MATRIX_r02.json and prints it.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pcodec_tpu_jaxcache")
+
+REF = {
+    # reference M3 Max 1-core decompress GB/s for flavor-matched data
+    # (docs/benchmark_results/columnar_mbp_m3_max_rust1_89.csv)
+    "taxi_i64_delta1": 3.49,
+    "f64_auto_multichunk": 3.49,
+    "intmult_i64_timestamps": 3.49,
+    "floatmult_f32": 2.32,
+    "floatquant_f16": 2.32,
+    "wrapped_lookback_multipage": 3.85,
+    "dict_i64": 3.49,
+}
+
+
+def make_configs():
+    rng = np.random.default_rng(1234)
+    cfgs = {}
+
+    n = 48 * 1024 * 1024
+    incs = rng.integers(0, 120, n)
+    jumps = rng.random(n) < 0.001
+    cfgs["taxi_i64_delta1"] = (
+        np.cumsum(incs + jumps * rng.integers(0, 10**6, n)).astype(np.int64),
+        None, "standalone",
+    )
+
+    n2 = 32 * 1024 * 1024
+    t = np.arange(n2, dtype=np.float64)
+    cfgs["f64_auto_multichunk"] = (
+        np.cumsum(rng.standard_normal(n2)) + 0.001 * t,
+        None, "standalone",
+    )
+
+    cfgs["intmult_i64_timestamps"] = (
+        (np.cumsum(rng.integers(1, 30, n2)) * 1_000_000_000
+         + rng.integers(0, 4, n2)).astype(np.int64),
+        None, "standalone",
+    )
+
+    cfgs["floatmult_f32"] = (
+        (rng.integers(-5000, 5000, n) * np.float32(0.01)).astype(np.float32),
+        None, "standalone",
+    )
+    cfgs["floatquant_f16"] = (
+        (np.round(rng.standard_normal(n) * 16) / 16).astype(np.float16),
+        None, "standalone",
+    )
+
+    from pcodec_tpu import ChunkConfig, DeltaSpec, ModeSpec
+
+    pattern = rng.integers(0, 10**6, 512).astype(np.int64)
+    reps = np.tile(pattern, n2 // 512)
+    cfgs["wrapped_lookback_multipage"] = (
+        reps + rng.integers(0, 2, len(reps)),
+        ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_LOOKBACK)), "pct",
+    )
+
+    vals = np.array([3, 99, 1234567, -5], dtype=np.int64)
+    cfgs["dict_i64"] = (
+        vals[rng.integers(0, 4, n2)],
+        ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)), "pct",
+    )
+    return cfgs
+
+
+def time_device(plan_fn, data, expect_u64_sum):
+    """Returns (best_secs, ok) timing the jitted decode+checksum."""
+    import jax
+    import jax.numpy as jnp
+    import pcodec_tpu.ops.pallas_decode as pd
+
+    plan = plan_fn(data)
+    la = {"raw2d": jnp.asarray(plan.raw2d)}
+    for lkey, launch in plan.launches.items():
+        d = {
+            k: jnp.asarray(getattr(launch, k))
+            for k in ("starts_blk", "tables", "tbl_ids", "curs", "states0", "bodyn")
+        }
+        if launch.moments is not None:
+            d["moments"] = jnp.asarray(launch.moments)
+        la[repr(lkey)] = d
+    host_sum = np.uint64(0)
+    for cp in plan.chunks:
+        if cp.fallback is not None:
+            w = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[
+                cp.fallback.dtype.itemsize
+            ]
+            host_sum += np.sum(
+                cp.fallback.view(w).astype(np.uint64), dtype=np.uint64
+            )
+
+    def run(args):
+        res = pd._decode_plan_device(plan, args)
+        parts = [pd.result_checksum_u64(r) for r in res if r is not None]
+        total = sum(parts) if parts else jnp.uint64(0)
+        return jnp.asarray(total, jnp.uint64).reshape(1)
+
+    f = jax.jit(run)
+    checksum = np.uint64(int(f(la)[0])) + host_sum
+    ok = int(checksum) == int(expect_u64_sum)
+    best = 9e9
+    for _ in range(6):
+        t0 = time.perf_counter()
+        cs = int(f(la)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best, ok, plan
+
+
+def main():
+    from pcodec_tpu.codec.container import container_compress, container_decompress
+    from pcodec_tpu.codec.standalone import simple_compress, simple_decompress
+    import pcodec_tpu.ops.pallas_decode as pd
+
+    results = {}
+    for name, (nums, cfg, fmt) in make_configs().items():
+        t0 = time.time()
+        if fmt == "standalone":
+            blob = simple_compress(nums, cfg)
+            plan_fn = pd.plan_standalone
+            decode_host = lambda b: simple_decompress(b)[0]
+            dev_fn = pd.decode_standalone_device
+        else:
+            blob = container_compress(nums, cfg)
+            plan_fn = pd.plan_container
+            decode_host = container_decompress
+            dev_fn = pd.decode_container_device
+        compress_secs = time.time() - t0
+        ratio = nums.nbytes / len(blob)
+
+        w = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[nums.dtype.itemsize]
+        expect = np.sum(nums.view(w).astype(np.uint64), dtype=np.uint64)
+        best, ok, plan = time_device(plan_fn, blob, expect)
+
+        # one-time byte compare via full readback (excluded from timing)
+        out, _, _ = dev_fn(blob, plan)
+        byte_exact = bool(np.array_equal(out.view(np.uint8), nums.view(np.uint8)))
+
+        gbps = nums.nbytes / best / 1e9
+        results[name] = {
+            "n": int(len(nums)),
+            "dtype": str(nums.dtype),
+            "format": fmt,
+            "ratio": round(ratio, 3),
+            "decode_gbps": round(gbps, 3),
+            "decode_ms": round(best * 1e3, 2),
+            "checksum_ok": ok,
+            "byte_exact": byte_exact,
+            "compress_secs_host": round(compress_secs, 2),
+            "ref_cpu_gbps": REF[name],
+            "vs_ref": round(gbps / REF[name], 3),
+        }
+        print(name, json.dumps(results[name]), flush=True)
+
+    with open("BENCH_MATRIX_r02.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"matrix": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,17 @@ def histogram(latents: np.ndarray, n_bins_log: int, sort_in_place: bool = False)
         s = latents
     else:
         s = np.sort(latents)
+    try:
+        from pcodec_tpu.native import kernels as _native
+    except Exception:  # pragma: no cover
+        _native = None
+    if _native is not None:
+        su = s if s.dtype == np.uint64 else s.astype(np.uint64)
+        counts, lowers, uppers = _native.histogram_sorted(su, n_bins_log)
+        return [
+            HistogramBin(int(cc), int(lo), int(up))
+            for cc, lo, up in zip(counts.tolist(), lowers.tolist(), uppers.tolist())
+        ]
     b = _Builder(n, n_bins_log)
     pos = 0
     while pos < n:

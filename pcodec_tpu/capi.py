@@ -39,6 +39,21 @@ def simple_compress_ptr(src_ptr: int, n: int, number_type_byte: int,
     return simple_compress(nums, cfg)
 
 
+def peek_and_decompress(src: bytes):
+    """Decompress a whole standalone file without a priori type/count
+    knowledge (the Java binding's simple_decompress surface).
+
+    Returns (number_type_byte, raw_bytes) or (0, b"") when the file holds no
+    chunks (type unknowable — mirrors the reference's Optional.empty,
+    ref: pco_java/src/main/rust/src/lib.rs:98-116)."""
+    from pcodec_tpu.codec.standalone import simple_decompress
+
+    arr, nt = simple_decompress(src)
+    if nt is None:
+        return 0, b""
+    return nt.type_byte, np.ascontiguousarray(arr).tobytes()
+
+
 def simple_decompress_ptr(src: bytes, number_type_byte: int, dst_ptr: int,
                           dst_capacity_elems: int) -> int:
     """Returns elements written, or -error_code."""

@@ -38,18 +38,32 @@ def load_input(path: str, dtype: str = None, col: str = None) -> np.ndarray:
             **kw,
         )
     if path.endswith(".parquet") or path.endswith(".pq"):
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        def _is_supported(t):
+            return (
+                pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_timestamp(t) or pa.types.is_date32(t)
+            )
 
         table = pq.read_table(path, columns=[col] if col else None)
         if col is None:
-            numeric = [
-                f.name for f in table.schema
-                if np.issubdtype(np.dtype(f.type.to_pandas_dtype()), np.number)
-            ]
+            numeric = [f.name for f in table.schema if _is_supported(f.type)]
             if not numeric:
                 raise SystemExit("no numeric columns in parquet file; use --col")
             col = numeric[0]
-        arr = table.column(col).to_numpy(zero_copy_only=False)
+        column = table.column(col)
+        atype = column.type
+        # Arrow temporal types map to their integer representations, like the
+        # reference CLI (ref: pco_cli/src/dtypes.rs:388-410): Timestamp
+        # (s/ms/us/ns) -> i64, Date32 -> i32
+        if pa.types.is_timestamp(atype):
+            arr = column.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        elif pa.types.is_date32(atype):
+            arr = column.cast(pa.int32()).to_numpy(zero_copy_only=False)
+        else:
+            arr = column.to_numpy(zero_copy_only=False)
         return np.ascontiguousarray(arr)
     if path.endswith(".wav"):
         from scipy.io import wavfile

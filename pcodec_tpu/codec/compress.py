@@ -337,7 +337,8 @@ class ChunkCompressor:
         self.page_infos = page_infos
 
     def n_per_page(self) -> List[int]:
-        return [p.page_n for p in self.page_infos]
+        per = getattr(self.page_infos, "per_page", None)  # lazy device infos
+        return list(per) if per is not None else [p.page_n for p in self.page_infos]
 
     def meta_size_hint(self) -> int:
         return self.meta.max_size()
@@ -520,6 +521,76 @@ def _compressed_sample_size(sample: np.ndarray, ubl: int, delta_encoding: DeltaE
         sample.copy(), None, [len(sample)], Mode(Mode.CLASSIC), delta_encoding, ubl, lt
     )
     return float(cc.meta_size_hint() + cc._page_size_hint_inner(0, 1.0))
+
+
+def train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type):
+    """train_infos with the histogram precomputed (device-train feeds
+    device-walked bins; decision math identical to train_infos)."""
+    if n_latents == 0:
+        return TrainedBins([], 0, [])
+    n_log_ceil = 0 if n_latents <= 1 else (n_latents - 1).bit_length()
+    estimated = min(unoptimized_bins_log + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
+    infos = optimize_bins(unopt, estimated, latent_type)
+    counts = [i.weight for i in infos]
+    ans_size_log, weights = ans.quantize_weights(counts, n_latents, estimated)
+    for info, w in zip(infos, weights):
+        info.weight = w
+    return TrainedBins(infos, ans_size_log, counts)
+
+
+def sample_cost_from_unopt(delta_encoding: DeltaEncoding, per_var: dict,
+                           ubl: int, number_lt: LatentType) -> float:
+    """_compressed_sample_size computed from precomputed unoptimized
+    histograms instead of the sample itself. per_var maps latent-var key ->
+    (list[HistogramBin], n_stored); classic mode, single page."""
+    var_metas = PerLatentVar()
+    body_bits = 0
+    for key in ("delta", "primary"):
+        if key not in per_var:
+            continue
+        unopt, n_stored = per_var[key]
+        var_lt = U32 if key == "delta" else number_lt
+        trained = train_from_histogram(unopt, n_stored, ubl, var_lt)
+        bins = bins_from_infos(trained.infos, var_lt)
+        avg = bins.avg_bits_per_latent(trained.ans_size_log) if len(bins) else 0.0
+        var_metas.set(key, ChunkLatentVarMeta(trained.ans_size_log, bins))
+        body_bits += int(np.ceil(n_stored * avg * 1.0))
+    meta = ChunkMeta(Mode(Mode.CLASSIC), delta_encoding, var_metas, number_lt)
+    return float(
+        meta.max_size() + meta.exact_page_meta_size() + (body_bits + 7) // 8
+    )
+
+
+def choose_auto_delta_from_cand_bins(cand_bins, sample_n: int, n: int, ubl: int,
+                                     lt: LatentType) -> DeltaEncoding:
+    """The auto delta decision (chunk_compressor.rs:341-395) from device-
+    reduced candidate histograms. cand_bins[k] = (bins, n_stored): index 0 =
+    noop, 1..MAX_CONSECUTIVE_DELTA_ORDER = consecutive orders, then lookback
+    primary deltas and lookback values."""
+    best = DeltaEncoding.noop()
+    best_cost = sample_cost_from_unopt(best, {"primary": cand_bins[0]}, ubl, lt)
+
+    lookback_penalty = LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * sample_n
+    if best_cost > lookback_penalty:
+        lb_enc = new_lookback(sample_n)
+        mo = c.MAX_CONSECUTIVE_DELTA_ORDER
+        lb_cost = sample_cost_from_unopt(
+            lb_enc, {"delta": cand_bins[mo + 2], "primary": cand_bins[mo + 1]},
+            ubl, lt,
+        ) + lookback_penalty
+        if lb_cost < best_cost:
+            best = new_lookback(n)
+            best_cost = lb_cost
+
+    for order in range(1, c.MAX_CONSECUTIVE_DELTA_ORDER + 1):
+        enc = DeltaEncoding.consecutive(order)
+        cost = sample_cost_from_unopt(enc, {"primary": cand_bins[order]}, ubl, lt)
+        if cost < best_cost:
+            best = enc
+            best_cost = cost
+        else:
+            break  # it's almost always convex
+    return best
 
 
 def choose_auto_delta_encoding(primary: np.ndarray, ubl: int, lt: LatentType) -> DeltaEncoding:

@@ -17,23 +17,110 @@ from pcodec_tpu.format.bitio import BitReader
 from pcodec_tpu.format.metadata import ChunkMeta, DeltaEncoding, Mode
 
 
+@dataclass
+class LatentDescriber:
+    """Interprets one latent var: description, units, and a value formatter
+    (ref: pco/src/describers.rs DescribeLatent)."""
+
+    description: str
+    units: str
+    center: int = 0  # latent-domain center subtracted before display
+    is_signed: bool = False
+    as_float_nt: object = None  # format latent via nt.from_latent_ordered
+    shift_k: int = 0  # FloatQuant primary: latent << k then float-format
+
+    def format(self, latent: int, lt) -> str:
+        if self.as_float_nt is not None:
+            nt = self.as_float_nt
+            v = latent << self.shift_k if self.shift_k else latent
+            x = nt.from_latent_ordered(np.array([v], dtype=lt.np_dtype))[0]
+            return f"{x}"
+        if self.is_signed:
+            # centered signed interpretation (ref: describers.rs IntDescriber)
+            val = int(latent) - int(self.center)
+            return f"{val}{self.units}"
+        val = int(latent) - int(self.center)
+        return f"{val}{self.units}"
+
+
+def _centered_delta(desc: str, units: str, lt) -> LatentDescriber:
+    return LatentDescriber(desc, units, center=int(lt.mid), is_signed=True)
+
+
+def get_latent_describers(meta: ChunkMeta, nt) -> dict:
+    """Per-latent-var describers matching Number::get_latent_describers
+    (ref: describers.rs:62-228). Keys: delta/primary/secondary."""
+    mode = meta.mode
+    de = meta.delta_encoding
+    lt = nt.latent
+    delta_noop = de.kind == DeltaEncoding.NOOP
+    sec_delta = (
+        de.kind in (DeltaEncoding.CONSECUTIVE, DeltaEncoding.LOOKBACK)
+        and de.secondary_uses_delta
+    )
+    out = {}
+    if de.kind == DeltaEncoding.LOOKBACK:
+        out["delta"] = LatentDescriber("lookback", "", 0, False)
+
+    if mode.kind == Mode.CLASSIC:
+        if delta_noop:
+            out["primary"] = LatentDescriber("primary", "", as_float_nt=nt if nt.kind == "float" else None,
+                                             center=int(lt.mid) if nt.kind == "signed" else 0,
+                                             is_signed=nt.kind == "signed")
+        else:
+            units = " ULPs" if nt.kind == "float" else ""
+            out["primary"] = _centered_delta("delta", units, lt)
+    elif mode.kind == Mode.INT_MULT:
+        base = int(mode.payload)
+        dtype_center = int(lt.mid) if nt.kind == "signed" else 0
+        if delta_noop:
+            out["primary"] = LatentDescriber(
+                f"multiplier [x{base}]", "x", dtype_center // base, nt.kind == "signed"
+            )
+        else:
+            out["primary"] = _centered_delta(f"multiplier delta [x{base}]", "x", lt)
+        if sec_delta:
+            out["secondary"] = _centered_delta("adjustment delta", "", lt)
+        else:
+            out["secondary"] = LatentDescriber("adjustment", "", dtype_center % base, False)
+    elif mode.kind == Mode.DICT:
+        if delta_noop:
+            out["primary"] = LatentDescriber("index", "", 0, False)
+        else:
+            out["primary"] = _centered_delta("index delta", "", lt)
+    elif mode.kind == Mode.FLOAT_MULT:
+        base = nt.from_latent_ordered(np.array([mode.payload], dtype=lt.np_dtype))[0]
+        if delta_noop:
+            out["primary"] = LatentDescriber(
+                f"multiplier [x{base}]", "x", int(lt.mid), True
+            )
+        else:
+            out["primary"] = LatentDescriber(
+                f"multiplier delta [x{base}]", "x", int(lt.mid), True
+            )
+        if sec_delta:
+            out["secondary"] = _centered_delta("adjustment delta", "", lt)
+        else:
+            out["secondary"] = LatentDescriber("adjustment", " ULPs", int(lt.mid), True)
+    elif mode.kind == Mode.FLOAT_QUANT:
+        k = int(mode.payload)
+        if delta_noop:
+            out["primary"] = LatentDescriber(
+                f"quantized value [<<{k}]", "", as_float_nt=nt, shift_k=k
+            )
+        else:
+            out["primary"] = _centered_delta(f"quantums delta [<<{k}]", "q", lt)
+        if sec_delta:
+            out["secondary"] = _centered_delta("magnitude adjustment delta", "", lt)
+        else:
+            out["secondary"] = LatentDescriber("magnitude adjustment", " ULPs", 0, False)
+    return out
+
+
 def describe_latent_var(meta: ChunkMeta, key: str, nt) -> str:
     """Human-readable interpretation of a latent var (ref: describers.rs)."""
-    mode = meta.mode
-    if key == "delta":
-        return "lookback"
-    if mode.kind == Mode.CLASSIC:
-        return "value ULPs" if nt.kind == "float" and meta.delta_encoding.kind != "noop" else "value"
-    if mode.kind == Mode.DICT:
-        return "dictionary index"
-    if mode.kind == Mode.INT_MULT:
-        return f"multiplier (base {mode.payload})" if key == "primary" else "adjustment"
-    if mode.kind == Mode.FLOAT_MULT:
-        base = nt.from_latent_ordered(np.array([mode.payload], dtype=nt.latent.np_dtype))[0]
-        return f"multiplier (base {base})" if key == "primary" else "ULPs adjustment"
-    if mode.kind == Mode.FLOAT_QUANT:
-        return f"quantums (k={mode.payload})" if key == "primary" else "ULPs adjustment"
-    return key
+    d = get_latent_describers(meta, nt).get(key)
+    return d.description if d is not None else key
 
 
 @dataclass
@@ -43,6 +130,9 @@ class LatentVarReport:
     ans_size_log: int
     n_bins: int
     avg_bits_per_latent: float
+    # per-bin dump (weight, formatted lower, offset_bits) — reference
+    # inspect's bin listing (ref: pco_cli/src/inspect/handler.rs:24-110)
+    bins: List[tuple] = field(default_factory=list)
 
 
 @dataclass
@@ -87,7 +177,18 @@ def describe_delta(de: DeltaEncoding) -> str:
 
 
 def _fill_latent_vars(cr, meta, nt):
+    describers = get_latent_describers(meta, nt)
     for key, vm in meta.per_latent_var.enumerated():
+        d = describers.get(key)
+        lt = vm.latent_type
+        bins = []
+        for bi in range(len(vm.bins)):
+            lower = int(vm.bins.lowers[bi])
+            bins.append((
+                int(vm.bins.weights[bi]),
+                d.format(lower, lt) if d is not None else str(lower),
+                int(vm.bins.offset_bits[bi]),
+            ))
         cr.latent_vars.append(
             LatentVarReport(
                 key=key,
@@ -97,6 +198,7 @@ def _fill_latent_vars(cr, meta, nt):
                 avg_bits_per_latent=vm.bins.avg_bits_per_latent(vm.ans_size_log)
                 if len(vm.bins)
                 else 0.0,
+                bins=bins,
             )
         )
 
@@ -212,6 +314,12 @@ def format_report(report: FileReport, verbose: bool = False) -> str:
                 f"ans_size_log={lv.ans_size_log}, "
                 f"~{lv.avg_bits_per_latent:.2f} bits/latent"
             )
+            if verbose:
+                shown = lv.bins if len(lv.bins) <= 32 else lv.bins[:32]
+                for w, lower_s, ob in shown:
+                    lines.append(f"    weight={w} lower={lower_s} offset_bits={ob}")
+                if len(lv.bins) > 32:
+                    lines.append(f"    ... and {len(lv.bins) - 32} more bins")
     if not verbose and report.n_chunks > 5:
         lines.append(f"... and {report.n_chunks - 5} more chunks (use -v)")
     return "\n".join(lines)

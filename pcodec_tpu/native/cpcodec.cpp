@@ -17,6 +17,7 @@
 #include <Python.h>
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 
@@ -120,5 +121,54 @@ int pco_standalone_simple_decompress_into(
   PyGILState_Release(gil);
   return code;
 }
+
+int pco_standalone_simple_decompress_alloc(
+    const unsigned char* src, size_t src_len, unsigned char* out_type_byte,
+    void** out_data, size_t* out_n) {
+  ensure_init();
+  if (!g_mod || !src || !out_type_byte || !out_data || !out_n)
+    return PCO_INVALID_ARGUMENT;
+  *out_data = nullptr;
+  *out_n = 0;
+  *out_type_byte = 0;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject* r = PyObject_CallMethod(g_mod, "peek_and_decompress", "y#",
+                                    (const char*)src, (Py_ssize_t)src_len);
+  int code = PCO_DECOMPRESSION_ERROR;
+  if (r && PyTuple_Check(r) && PyTuple_GET_SIZE(r) == 2) {
+    long tb = PyLong_AsLong(PyTuple_GET_ITEM(r, 0));
+    PyObject* data = PyTuple_GET_ITEM(r, 1);
+    if (tb > 0 && PyBytes_Check(data)) {
+      // element size from the type byte (dtypes.py NUMBER_TYPE_BYTE, same
+      // values as ref: pco/src/data_types/{signed,unsigned,float}.rs):
+      // u32=1 u64=2 i32=3 i64=4 f32=5 f64=6 u16=7 i16=8 f16=9 u8=10 i8=11
+      size_t esize;
+      switch (tb) {
+        case 10: case 11: esize = 1; break;           /* u8, i8 */
+        case 7: case 8: case 9: esize = 2; break;     /* u16, i16, f16 */
+        case 1: case 3: case 5: esize = 4; break;     /* u32, i32, f32 */
+        default: esize = 8; break;                    /* u64, i64, f64 */
+      }
+      size_t len = (size_t)PyBytes_GET_SIZE(data);
+      void* buf = malloc(len ? len : 1);
+      if (buf) {
+        std::memcpy(buf, PyBytes_AS_STRING(data), len);
+        *out_data = buf;
+        *out_n = len / esize;
+        *out_type_byte = (unsigned char)tb;
+        code = PCO_SUCCESS;
+      }
+    } else if (tb == 0) {
+      code = PCO_SUCCESS;  // empty file: type unknowable
+    }
+  } else if (!r) {
+    PyErr_Print();
+  }
+  Py_XDECREF(r);
+  PyGILState_Release(gil);
+  return code;
+}
+
+void pco_free(void* p) { free(p); }
 
 }  // extern "C"

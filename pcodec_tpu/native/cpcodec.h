@@ -4,7 +4,7 @@
  * (ref: pco_c/include/cpcodec_generated.h, pco_c/src/lib.rs:128-195).
  *
  * Number type bytes (ref: pco/src/data_types, NUMBER_TYPE_BYTE):
- *   f16=9 f32=5 f64=6  i16=12 i32=3 i64=4  u16=11 u32=1 u64=2  i8=14 u8=13
+ *   u32=1 u64=2 i32=3 i64=4 f32=5 f64=6 u16=7 i16=8 f16=9 u8=10 i8=11
  */
 #ifndef CPCODEC_TPU_H
 #define CPCODEC_TPU_H
@@ -43,6 +43,17 @@ int pco_standalone_simple_compress_into(
 int pco_standalone_simple_decompress_into(
     const unsigned char* src, size_t src_len, unsigned char number_type_byte,
     void* dst, size_t dst_capacity_elems, size_t* n_written);
+
+/* Decompress a whole file without knowing the type or count up front
+ * (allocating convenience surface used by the Java binding). On success
+ * *out_data holds malloc'd number data (free with pco_free), *out_n the
+ * element count, *out_type_byte the inferred number type (0 if the file
+ * holds no chunks; *out_data is then NULL). */
+int pco_standalone_simple_decompress_alloc(
+    const unsigned char* src, size_t src_len, unsigned char* out_type_byte,
+    void** out_data, size_t* out_n);
+
+void pco_free(void* p);
 
 #ifdef __cplusplus
 }

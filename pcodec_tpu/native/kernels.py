@@ -62,6 +62,27 @@ def optimize_bins_dp(c_counts, lowers, uppers, bin_meta_cost, total_count_log2):
     return best_js, np.float32(best_cost.value)
 
 
+_lib.pco_histogram_sorted.restype = ctypes.c_longlong
+_lib.pco_histogram_sorted.argtypes = [
+    _u64p, ctypes.c_longlong, ctypes.c_int, _u64p, _u64p, _u64p,
+]
+
+
+def histogram_sorted(s: np.ndarray, n_bins_log: int):
+    """(counts, lowers, uppers) of the quantile walk over sorted u64 `s`."""
+    nb = 1 << n_bins_log
+    counts = np.empty(nb, dtype=np.uint64)
+    lowers = np.empty(nb, dtype=np.uint64)
+    uppers = np.empty(nb, dtype=np.uint64)
+    n_out = _lib.pco_histogram_sorted(
+        np.ascontiguousarray(s, dtype=np.uint64).ctypes.data_as(_u64p),
+        len(s), n_bins_log,
+        counts.ctypes.data_as(_u64p), lowers.ctypes.data_as(_u64p),
+        uppers.ctypes.data_as(_u64p),
+    )
+    return counts[:n_out], lowers[:n_out], uppers[:n_out]
+
+
 _lib.pco_histogram_walk.restype = ctypes.c_longlong
 _lib.pco_histogram_walk.argtypes = [
     ctypes.c_longlong, ctypes.c_int, _u64p, _i64p, _i64p, _u64p, _u64p,

@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC pco_kernels.cpp -o libpco_kernels.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 
@@ -410,6 +411,80 @@ extern "C" void pco_optimize_bins_dp(
   }
   *best_cost_out = best_costs[n];
   delete[] best_costs;
+}
+
+// The quantile-histogram walk over a fully sorted array (ref:
+// histograms.rs:132-206 via the repo's histogram()). Same builder logic as
+// pco_histogram_walk below; bounds come from binary searches on `s`.
+extern "C" long long pco_histogram_sorted(
+    const uint64_t* s, long long n, int n_bins_log,
+    uint64_t* counts_out, uint64_t* lowers_out, uint64_t* uppers_out) {
+  if (n == 0) return 0;
+  const long long n_bins = 1LL << n_bins_log;
+  long long n_applied = 0, next_avail_bin_idx = 0, n_out = 0;
+  bool has_inc = false;
+  uint64_t inc_count = 0, inc_lower = 0, inc_upper = 0;
+  auto bin_idx_of = [&](long long c_count) {
+    return (c_count << n_bins_log) / n;
+  };
+  auto c_count_of = [&](long long bin_idx) {
+    return ((bin_idx + 1) * n + n_bins - 1) >> n_bins_log;
+  };
+  auto apply_incomplete = [&](long long count, uint64_t lower, uint64_t upper) {
+    if (count == 0) return;
+    if (has_inc) {
+      inc_count += count;
+      inc_upper = upper;
+    } else {
+      has_inc = true;
+      inc_count = count;
+      inc_lower = lower;
+      inc_upper = upper;
+    }
+    n_applied += count;
+  };
+  auto complete_bin = [&](long long bin_idx) {
+    if (!has_inc) return false;
+    next_avail_bin_idx = bin_idx + 1;
+    counts_out[n_out] = inc_count;
+    lowers_out[n_out] = inc_lower;
+    uppers_out[n_out] = inc_upper;
+    n_out++;
+    has_inc = false;
+    return true;
+  };
+  auto apply_constant_run = [&](long long count, uint64_t value) {
+    long long start = n_applied;
+    long long mid = start + count / 2;
+    long long end = start + count;
+    long long bin_idx = bin_idx_of(mid);
+    if (bin_idx > next_avail_bin_idx) {
+      long long spare = bin_idx - 1;
+      if (!complete_bin(spare)) bin_idx = spare;
+    }
+    apply_incomplete(count, value, value);
+    if (end >= c_count_of(bin_idx)) complete_bin(bin_idx);
+  };
+
+  long long pos = 0;
+  while (pos < n) {
+    long long j = bin_idx_of(n_applied);
+    long long tcc = c_count_of(j);
+    long long ti = tcc - n_applied;
+    if (ti >= n - pos) {
+      apply_incomplete(n - pos, s[pos], s[n - 1]);
+      if (ti == n - pos) complete_bin(j);
+      break;
+    }
+    uint64_t tx = s[pos + ti - 1];
+    long long l = std::lower_bound(s, s + n, tx) - s;
+    long long r = std::upper_bound(s, s + n, tx) - s;
+    if (l < pos) l = pos;
+    if (l > pos) apply_incomplete(l - pos, s[pos], s[l - 1]);
+    apply_constant_run(r - l, tx);
+    pos = r;
+  }
+  return n_out;
 }
 
 // The quantile-histogram walk driven by per-bin quantile extracts

@@ -87,6 +87,26 @@ int main(void) {
   }
   printf("f32 round trip OK (%zu -> %zu bytes)\n", (size_t)(N * 4), fwritten);
 
+  /* ---- allocating decompress (the Java binding's surface) ---- */
+  unsigned char atype = 0;
+  void* adata = NULL;
+  size_t an = 0;
+  rc = pco_standalone_simple_decompress_alloc(fdst, fwritten, &atype, &adata,
+                                              &an);
+  if (rc != PCO_SUCCESS || atype != F32_TYPE_BYTE || an != N || !adata) {
+    fprintf(stderr, "alloc decompress failed rc=%d type=%d n=%zu\n", rc,
+            (int)atype, an);
+    return 1;
+  }
+  for (size_t i = 0; i < N; i++) {
+    if (((float*)adata)[i] != fnums[i]) {
+      fprintf(stderr, "alloc decompress mismatch at %zu\n", i);
+      return 1;
+    }
+  }
+  pco_free(adata);
+  printf("alloc decompress OK (inferred type %d, n=%zu)\n", (int)atype, an);
+
   /* ---- truncation must error, not crash ---- */
   rc = pco_standalone_simple_decompress_into(dst, written / 2, I64_TYPE_BYTE,
                                              out, N, &n_out);

@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_enable_x64", True)  # all latent math is u64-widened
+
 from pcodec_tpu import constants as c
 from pcodec_tpu.binning import sampling
 from pcodec_tpu.binning.histogram import _Builder, HistogramBin
@@ -301,6 +303,427 @@ def _int_bases_device(mode_s_dev, mode_spans, chunk_ns, lt) -> Dict[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# device histogram walk (integer-exact scan over the quantile extracts)
+# ---------------------------------------------------------------------------
+
+
+def _walk_bins_device(V, L, R, SL1, SR, s0, n, nb_log):
+    """The quantile-histogram walk (histograms.rs:132-206) on device,
+    vectorized across lanes: one lax.scan of <= nb steps whose per-step
+    logic mirrors the host builder exactly (pure integer ops, so results
+    are bit-identical to histogram()). V/L/R/SL1/SR: (lanes, nb); s0, n:
+    (lanes,). Returns counts/lowers/uppers (lanes, nb) u64 + n_bins (lanes,)
+    i32, bins packed to the front in emission order."""
+    nb = 1 << nb_log
+    lanes = V.shape[0]
+    n = n.astype(jnp.int64)
+    slast = V[:, nb - 1]
+    nsafe = jnp.maximum(n, 1)
+
+    def bin_idx(c_count):
+        return (c_count << nb_log) // nsafe
+
+    def c_count(bi):
+        return ((bi + 1) * n + nb - 1) >> nb_log
+
+    def step(carry, _):
+        (pos, cur_lower, inc_c, inc_lo, inc_up, has_inc, next_avail, done,
+         nout) = carry
+        active = (~done) & (pos < n)
+
+        j = bin_idx(pos)
+        tcc = c_count(j)
+        ti = tcc - pos
+        brk = ti >= n - pos
+
+        emitA = jnp.zeros(lanes, bool)
+        emitA_c = jnp.zeros(lanes, jnp.int64)
+        emitA_lo = jnp.zeros(lanes, jnp.uint64)
+        emitA_up = jnp.zeros(lanes, jnp.uint64)
+        emitB = jnp.zeros(lanes, bool)
+        emitB_c = jnp.zeros(lanes, jnp.int64)
+        emitB_lo = jnp.zeros(lanes, jnp.uint64)
+        emitB_up = jnp.zeros(lanes, jnp.uint64)
+
+        def apply_inc(cnt, lo, up, st):
+            pos_, inc_c, inc_lo, inc_up, has_inc = st
+            nz = cnt > 0
+            inc_lo = jnp.where(nz & ~has_inc, lo, inc_lo)
+            inc_up = jnp.where(nz, up, inc_up)
+            inc_c = jnp.where(nz, inc_c + cnt, inc_c)
+            has_inc = has_inc | nz
+            return pos_, inc_c, inc_lo, inc_up, has_inc
+
+        # ---- break branch (masked) ----
+        b_st = apply_inc(
+            jnp.where(active & brk, n - pos, 0), cur_lower, slast,
+            (pos, inc_c, inc_lo, inc_up, has_inc),
+        )
+        _, b_inc_c, b_inc_lo, b_inc_up, b_has_inc = b_st
+        b_complete = active & brk & (ti == n - pos) & b_has_inc
+        emitA = jnp.where(b_complete, True, emitA)
+        emitA_c = jnp.where(b_complete, b_inc_c, emitA_c)
+        emitA_lo = jnp.where(b_complete, b_inc_lo, emitA_lo)
+        emitA_up = jnp.where(b_complete, b_inc_up, emitA_up)
+        b_next_avail = jnp.where(b_complete, j + 1, next_avail)
+        b_has_inc2 = b_has_inc & ~b_complete
+
+        # ---- run branch (masked) ----
+        run = active & ~brk
+        jc = jnp.minimum(j, nb - 1)
+        tx = jnp.take_along_axis(V, jc[:, None], axis=1)[:, 0]
+        lj = jnp.take_along_axis(L, jc[:, None], axis=1)[:, 0]
+        rj = jnp.take_along_axis(R, jc[:, None], axis=1)[:, 0]
+        sl1j = jnp.take_along_axis(SL1, jc[:, None], axis=1)[:, 0]
+        srj = jnp.take_along_axis(SR, jc[:, None], axis=1)[:, 0]
+        l = jnp.maximum(lj, pos)
+        r_st = apply_inc(
+            jnp.where(run, l - pos, 0), cur_lower, sl1j,
+            (pos, inc_c, inc_lo, inc_up, has_inc),
+        )
+        _, r_inc_c, r_inc_lo, r_inc_up, r_has_inc = r_st
+        # apply_constant_run(count=r-l, value=tx); n_applied == l here
+        cnt = rj - l
+        mid = l + cnt // 2
+        end = l + cnt
+        bin2 = bin_idx(mid)
+        spare_cond = run & (bin2 > next_avail)
+        spare = bin2 - 1
+        spare_complete = spare_cond & r_has_inc
+        emitA = jnp.where(spare_complete, True, emitA)
+        emitA_c = jnp.where(spare_complete, r_inc_c, emitA_c)
+        emitA_lo = jnp.where(spare_complete, r_inc_lo, emitA_lo)
+        emitA_up = jnp.where(spare_complete, r_inc_up, emitA_up)
+        r_next_avail = jnp.where(spare_complete, spare + 1, next_avail)
+        r_has_inc2 = r_has_inc & ~spare_complete
+        r_inc_c2 = jnp.where(spare_complete, 0, r_inc_c)
+        bin2 = jnp.where(spare_cond & ~spare_complete, spare, bin2)
+        # apply_incomplete(count, tx, tx)
+        _, r_inc_c3, r_inc_lo3, r_inc_up3, r_has_inc3 = apply_inc(
+            jnp.where(run, cnt, 0), tx, tx,
+            (pos, r_inc_c2, r_inc_lo, r_inc_up, r_has_inc2),
+        )
+        end_complete = run & (end >= c_count(bin2)) & r_has_inc3
+        emitB = jnp.where(end_complete, True, emitB)
+        emitB_c = jnp.where(end_complete, r_inc_c3, emitB_c)
+        emitB_lo = jnp.where(end_complete, r_inc_lo3, emitB_lo)
+        emitB_up = jnp.where(end_complete, r_inc_up3, emitB_up)
+        r_next_avail = jnp.where(end_complete, bin2 + 1, r_next_avail)
+        r_has_inc4 = r_has_inc3 & ~end_complete
+        r_inc_c4 = jnp.where(end_complete, 0, r_inc_c3)
+
+        # ---- merge branches ----
+        new_pos = jnp.where(run, rj, pos)
+        new_cur_lower = jnp.where(run, srj, cur_lower)
+        new_inc_c = jnp.where(run, r_inc_c4, jnp.where(active & brk, 0, inc_c))
+        new_inc_lo = jnp.where(run, r_inc_lo3, jnp.where(active & brk, b_inc_lo, inc_lo))
+        new_inc_up = jnp.where(run, r_inc_up3, jnp.where(active & brk, b_inc_up, inc_up))
+        new_has_inc = jnp.where(run, r_has_inc4, jnp.where(active & brk, b_has_inc2, has_inc))
+        new_next_avail = jnp.where(run, r_next_avail, jnp.where(active & brk, b_next_avail, next_avail))
+        new_done = done | (active & brk) | (~active)
+        new_nout = nout + emitA.astype(jnp.int64) + emitB.astype(jnp.int64)
+        carry2 = (new_pos, new_cur_lower, new_inc_c, new_inc_lo, new_inc_up,
+                  new_has_inc, new_next_avail, new_done, new_nout)
+        ys = (emitA, emitA_c, emitA_lo, emitA_up, emitB, emitB_c, emitB_lo, emitB_up)
+        return carry2, ys
+
+    init = (
+        jnp.zeros(lanes, jnp.int64),          # pos
+        s0.astype(jnp.uint64),                # cur_lower
+        jnp.zeros(lanes, jnp.int64),          # inc_count
+        jnp.zeros(lanes, jnp.uint64),         # inc_lower
+        jnp.zeros(lanes, jnp.uint64),         # inc_upper
+        jnp.zeros(lanes, bool),               # has_inc
+        jnp.zeros(lanes, jnp.int64),          # next_avail_bin_idx
+        n <= 0,                               # done
+        jnp.zeros(lanes, jnp.int64),          # nout
+    )
+    carry, ys = jax.lax.scan(step, init, None, length=nb)
+    (emitA, eAc, eAlo, eAup, emitB, eBc, eBlo, eBup) = ys
+    # chronological order per lane: step-major, slot A before slot B
+    valid = jnp.stack([emitA, emitB], axis=2)          # (nb, lanes, 2)
+    cs = jnp.stack([eAc, eBc], axis=2)
+    los = jnp.stack([eAlo, eBlo], axis=2)
+    ups = jnp.stack([eAup, eBup], axis=2)
+    valid = jnp.transpose(valid, (1, 0, 2)).reshape(lanes, nb * 2)
+    cs = jnp.transpose(cs, (1, 0, 2)).reshape(lanes, nb * 2)
+    los = jnp.transpose(los, (1, 0, 2)).reshape(lanes, nb * 2)
+    ups = jnp.transpose(ups, (1, 0, 2)).reshape(lanes, nb * 2)
+    idx = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(valid, jnp.minimum(idx, nb - 1), nb)  # nb = drop slot
+    flat = (jnp.arange(lanes, dtype=jnp.int32)[:, None] * (nb + 1) + tgt).reshape(-1)
+    counts_out = (
+        jnp.zeros(lanes * (nb + 1), jnp.uint64)
+        .at[flat].add(jnp.where(valid, cs.astype(jnp.uint64), 0).reshape(-1))
+        .reshape(lanes, nb + 1)[:, :nb]
+    )
+    lowers_out = (
+        jnp.zeros(lanes * (nb + 1), jnp.uint64)
+        .at[flat].add(jnp.where(valid, los, jnp.uint64(0)).reshape(-1))
+        .reshape(lanes, nb + 1)[:, :nb]
+    )
+    uppers_out = (
+        jnp.zeros(lanes * (nb + 1), jnp.uint64)
+        .at[flat].add(jnp.where(valid, ups, jnp.uint64(0)).reshape(-1))
+        .reshape(lanes, nb + 1)[:, :nb]
+    )
+    n_bins = carry[8].astype(jnp.int32)
+    return counts_out, lowers_out, uppers_out, n_bins
+
+
+def _bitlen_u64(x):
+    """bit_length of u64 lanes (0 -> 0), integer-only."""
+    x = x.astype(jnp.uint64)
+    nz = x > 0
+    pos = jnp.zeros(x.shape, jnp.uint64)
+    for k in (32, 16, 8, 4, 2, 1):
+        big = (x >> jnp.uint64(k)) > 0
+        x = jnp.where(big, x >> jnp.uint64(k), x)
+        pos = pos + jnp.where(big, jnp.uint64(k), jnp.uint64(0))
+    return jnp.where(nz, pos + 1, 0).astype(jnp.int32)
+
+
+def _choose_lookbacks_device(lat2d, lens, bits, window_n_log, state_n):
+    """The 16-candidate lookback chooser (delta/lookback.rs:101-164) as one
+    lax.scan, vectorized across chunk lanes. Bit-identical to
+    choose_lookbacks: pure integer ops, same proposal/scoring/update order.
+    lat2d: (lanes, m) u64 latent values; lens: (lanes,) i32.
+    Returns lookbacks (lanes, m - state_n) i32 (0 past each lane's length).
+    """
+    lanes, m = lat2d.shape
+    window_n = 1 << window_n_log
+    htn = 1 << (window_n_log + 1)
+    hash_mask = jnp.uint64(htn - 1)
+    mask_l = jnp.uint64((1 << bits) - 1) if bits < 64 else jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    lens = lens.astype(jnp.int32)
+    lane_iota = jnp.arange(lanes, dtype=jnp.int32)
+    col16 = jnp.arange(16, dtype=jnp.int32)[None, :]
+
+    def hash_fn(x):
+        x = (x ^ (x >> jnp.uint64(32))) * jnp.uint64(11400714819323197441)
+        x = x ^ (x >> jnp.uint64(32))
+        return (x & hash_mask).astype(jnp.int32)
+
+    def gather_lane(arr2d, idx):
+        # arr2d (lanes, K), idx (lanes,) -> (lanes,)
+        return jnp.take_along_axis(arr2d, idx[:, None], axis=1)[:, 0]
+
+    def gather_lane16(arr2d, idx):
+        # arr2d (lanes, K), idx (lanes, 16) -> (lanes, 16)
+        return jnp.take_along_axis(arr2d, idx, axis=1)
+
+    def step(carry, i):
+        counts, idx_hash0, idx_hash1, proposed, best_lb, rep_idx = carry
+        active = i < lens
+        l = jax.lax.dynamic_index_in_dim(lat2d, i, axis=1, keepdims=False)
+
+        new_brute = jnp.minimum(i, 16)
+        proposed = jnp.where(
+            active[:, None] & (col16 == new_brute - 1), new_brute, proposed
+        )
+
+        for ci, (coarseness, table) in enumerate(((0, 0), (8, 1))):
+            ih = idx_hash0 if table == 0 else idx_hash1
+            bucket = l >> jnp.uint64(coarseness)
+            hs = (hash_fn(bucket - jnp.uint64(1)), hash_fn(bucket),
+                  hash_fn(bucket + jnp.uint64(1)))
+            for j, h in enumerate(hs):
+                lb_last = i - gather_lane(ih, h)
+                prop_idx = 10 + 3 * ci + j
+                val = jnp.where(
+                    lb_last <= window_n, lb_last, jnp.minimum(prop_idx, i)
+                ).astype(jnp.int32)
+                proposed = jnp.where(
+                    active[:, None] & (col16 == prop_idx), val[:, None], proposed
+                )
+            old = gather_lane(ih, hs[1])
+            newv = jnp.where(active, i, old).astype(ih.dtype)
+            ih = ih.at[lane_iota, hs[1]].set(newv)
+            if table == 0:
+                idx_hash0 = ih
+            else:
+                idx_hash1 = ih
+
+        lb = jnp.clip(proposed, 1, jnp.maximum(i, 1))
+        count = gather_lane16(counts, lb - 1)
+        other = gather_lane16(lat2d, jnp.clip(i - lb, 0, m - 1))
+        d1 = (l[:, None] - other) & mask_l
+        d2 = (other - l[:, None]) & mask_l
+        delta = jnp.minimum(d1, d2)
+        goodness = _bitlen_u64(count.astype(jnp.uint64)) + (
+            bits - _bitlen_u64(delta)
+        )
+        kstar = jnp.argmax(goodness, axis=1).astype(jnp.int32)  # first max
+        best = gather_lane16(lb, kstar[:, None])[:, 0]
+
+        changed = best != best_lb
+        rep_idx = jnp.where(active & changed, rep_idx + 1, rep_idx)
+        rep_col = 6 + rep_idx % 4
+        proposed = jnp.where(
+            active[:, None] & (col16 == rep_col[:, None]), best[:, None], proposed
+        )
+        best_lb = jnp.where(active, best, best_lb)
+        counts = counts.at[lane_iota, jnp.clip(best - 1, 0, counts.shape[1] - 1)].add(
+            active.astype(counts.dtype)
+        )
+        out = jnp.where(active, best, 0)
+        return (counts, idx_hash0, idx_hash1, proposed, best_lb, rep_idx), out
+
+    init = (
+        jnp.ones((lanes, min(window_n, m)), jnp.int32),   # lookback_counts
+        jnp.zeros((lanes, htn), jnp.int32),               # idx_hash coarseness 0
+        jnp.zeros((lanes, htn), jnp.int32),               # idx_hash coarseness 8
+        jnp.minimum(col16 + 1, state_n) * jnp.ones((lanes, 1), jnp.int32),
+        jnp.ones(lanes, jnp.int32),                       # best_lookback
+        jnp.zeros(lanes, jnp.int32),                      # repeating_idx
+    )
+    xs = jnp.arange(state_n, m, dtype=jnp.int32)
+    _, outs = jax.lax.scan(step, init, xs)
+    return jnp.transpose(outs)  # (lanes, m - state_n)
+
+
+def _pack_bins_dense(co, lo, up, nbn):
+    """Pack per-row padded bins into one dense (cap, 3) u64 buffer
+    [lower, upper, count] in row-major bin order, so the host fetches
+    sum(nbn) * 24 bytes instead of rows * nb * 20."""
+    rows, nb = co.shape
+    cap = rows * nb
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(nbn.astype(jnp.int64))[:-1]]
+    )
+    col = jax.lax.broadcasted_iota(jnp.int64, (rows, nb), 1)
+    valid = col < nbn.astype(jnp.int64)[:, None]
+    tgt = jnp.where(valid, starts[:, None] + col, cap).reshape(-1)
+    dense = jnp.zeros((cap + 1, 3), jnp.uint64)
+    dense = dense.at[tgt, 0].add(jnp.where(valid, lo, jnp.uint64(0)).reshape(-1))
+    dense = dense.at[tgt, 1].add(jnp.where(valid, up, jnp.uint64(0)).reshape(-1))
+    dense = dense.at[tgt, 2].add(
+        jnp.where(valid, co.astype(jnp.uint64), jnp.uint64(0)).reshape(-1)
+    )
+    return dense[:cap]
+
+
+def _fetch_packed_bins(dense_d, nbn_d):
+    """Fetch device-packed bins; returns (per-row lists of HistogramBin)."""
+    nbn = np.asarray(nbn_d)
+    total = int(nbn.sum())
+    dense = np.asarray(dense_d[:total]) if total else np.zeros((0, 3), np.uint64)
+    out = []
+    pos = 0
+    for r in range(len(nbn)):
+        k = int(nbn[r])
+        out.append([
+            HistogramBin(int(dense[pos + i, 2]), int(dense[pos + i, 0]),
+                         int(dense[pos + i, 1]))
+            for i in range(k)
+        ])
+        pos += k
+    return out
+
+
+def _extracts_and_walk(sort_in, n_stored, nb_log):
+    """Masked values (rows, m; pads = U64 MAX) -> sort -> quantile extracts
+    -> device walk. Returns (counts u32, lowers u64, uppers u64, n_bins i32),
+    each (rows, nb). Mirrors _phase_delta_sort's extract construction."""
+    nb = 1 << nb_log
+    n_stored = n_stored.astype(jnp.int64)
+    s = jnp.sort(sort_in, axis=1)
+    nsafe = jnp.maximum(n_stored, 1)
+    j = jnp.arange(nb, dtype=jnp.int64)[None, :]
+    ccp = ((j + 1) * n_stored[:, None] + nb - 1) >> nb_log
+    eidx = jnp.clip(ccp - 1, 0, jnp.maximum(n_stored[:, None] - 1, 0)).astype(jnp.int32)
+    v = jnp.take_along_axis(s, eidx, axis=1)
+    left = jax.vmap(partial(jnp.searchsorted, side="left"))(s, v)
+    right = jax.vmap(partial(jnp.searchsorted, side="right"))(s, v)
+    right = jnp.minimum(right.astype(jnp.int64), n_stored[:, None])
+    sl1 = jnp.take_along_axis(s, jnp.maximum(left - 1, 0).astype(jnp.int32), axis=1)
+    sr_idx = jnp.clip(jnp.minimum(right, n_stored[:, None] - 1), 0, s.shape[1] - 1)
+    sr = jnp.take_along_axis(s, sr_idx.astype(jnp.int32), axis=1)
+    co, lo, up, nbn = _walk_bins_device(
+        v, left.astype(jnp.int64), right, sl1, sr, s[:, 0], n_stored, nb_log
+    )
+    return co.astype(jnp.uint32), lo, up, nbn
+
+
+@partial(jax.jit, static_argnames=(
+    "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log"))
+def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
+                            nb_log, lat_bits, window_n_log):
+    """Histogram bins for every auto-delta candidate, reduced on device.
+
+    Candidates per chunk (row-major in the output): noop, consecutive 1..
+    max_order, lookback primary deltas, lookback values. The host then runs
+    the reference decision (chunk_compressor.rs:341-395) from the bins alone
+    — no sample fetch. Returns (counts, lowers, uppers, n_bins) of shape
+    (n_chunks * (max_order + 3), nb)."""
+    pos = jnp.arange(m_max, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(starts[:, None] + pos, 0, delta_s.shape[0] - 1)
+    valid = pos < lens[:, None]
+    sm = jnp.where(valid, delta_s[idx], jnp.uint64(0))
+    mask = jnp.uint64((1 << lat_bits) - 1) if lat_bits < 64 else None
+    mid = jnp.uint64(1) << jnp.uint64(lat_bits - 1)
+    lens64 = lens.astype(jnp.int64)
+
+    def toggle(x):
+        t = x + mid
+        return t & mask if mask is not None else t
+
+    rows = []
+    n_stored_rows = []
+    # noop: raw sample values
+    rows.append(jnp.where(valid, sm, U64_MAX))
+    n_stored_rows.append(lens64)
+    # consecutive orders (iterative wrapping diffs, junk fronts excluded)
+    out = sm
+    col = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 1)
+    for o in range(max_order):
+        diff = out - jnp.roll(out, 1, axis=1)
+        if mask is not None:
+            diff = diff & mask
+        out = jnp.where(col > o, diff, out)
+        k = o + 1
+        vals = toggle(out)
+        rows.append(jnp.where((col >= k) & valid, vals, U64_MAX))
+        n_stored_rows.append(jnp.maximum(lens64 - k, 0))
+    # lookback: chooser + primary deltas + the lookback latent var
+    lbs = _choose_lookbacks_device(sm, lens, lat_bits, window_n_log, 1)
+    lb_full = jnp.concatenate(
+        [jnp.ones((n_chunks, 1), jnp.int32), lbs], axis=1
+    )  # lookback for position i (junk at 0)
+    src = jnp.take_along_axis(
+        sm, jnp.clip(col - lb_full, 0, m_max - 1).astype(jnp.int32), axis=1
+    )
+    lb_delta = sm - src
+    if mask is not None:
+        lb_delta = lb_delta & mask
+    rows.append(jnp.where((col >= 1) & valid, toggle(lb_delta), U64_MAX))
+    n_stored_rows.append(jnp.maximum(lens64 - 1, 0))
+    lb_vals = jnp.concatenate(
+        [lbs.astype(jnp.uint64), jnp.zeros((n_chunks, 1), jnp.uint64)], axis=1
+    )
+    rows.append(jnp.where(col < (lens64 - 1)[:, None], lb_vals, U64_MAX))
+    n_stored_rows.append(jnp.maximum(lens64 - 1, 0))
+
+    n_cand = len(rows)  # max_order + 3
+    sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
+    n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
+    co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
+    return _pack_bins_dense(co, lo, up, nbn), nbn
+
+
+@partial(jax.jit, static_argnames=("nb_log",))
+def _phase_walk(V, L, R, SL1, SR, S0, nreal, sel, nb_log):
+    """Walk selected chunk lanes at one nb_log; extracts stay device-side.
+    Returns compact (counts u32, lowers u64, uppers u64, n_bins i32)."""
+    nbg = 1 << nb_log
+    co, lo, up, nbn = _walk_bins_device(
+        V[sel, :nbg], L[sel, :nbg], R[sel, :nbg], SL1[sel, :nbg],
+        SR[sel, :nbg], S0[sel], nreal[sel], nb_log,
+    )
+    return _pack_bins_dense(co.astype(jnp.uint32), lo, up, nbn), nbn
+
+
+# ---------------------------------------------------------------------------
 # host histogram walk from device extracts
 # ---------------------------------------------------------------------------
 
@@ -492,10 +915,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     )
     # samples come back u64-widened; decisions are latent-width sensitive
     # (wrapping diffs in the delta sample compressions), so narrow first.
-    # The full mode sample (~n/40 latents, the dominant host<->device
-    # transfer) is only fetched for float auto-mode bids; int IntMult
-    # screening runs on device and fetches O(chunks * 256) GCD counts.
-    delta_samples = np.asarray(delta_s_dev).astype(lt.np_dtype)
+    # The mode sample (~n/40 latents) is only fetched for float auto-mode
+    # bids; IntMult screening and the auto-delta candidate histograms are
+    # reduced on device, so the delta sample is never fetched either.
     is_int_auto = nt.kind != "float" and config.mode_spec.kind == ModeSpec.AUTO
     mode_samples = (
         np.asarray(mode_s_dev).astype(lt.np_dtype) if is_float_auto else None
@@ -504,10 +926,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         _int_bases_device(mode_s_dev, mode_spans, chunk_ns, lt) if is_int_auto else {}
     )
 
-    # ---- host decisions per chunk ----
-    orders = np.zeros(n_chunks, dtype=np.int32)
+    # ---- mode routing (host pipeline for IntMult/Float-mode winners) ----
     ubls = np.zeros(n_chunks, dtype=np.int32)
-    encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
+    mode_is_host = np.zeros(n_chunks, dtype=bool)
     for ci, cn in enumerate(chunk_ns):
         ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
         if is_float_auto:
@@ -519,18 +940,68 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 # neither bid clears its threshold (float.rs:83-134)
                 svals = nt.from_latent_ordered(mode_samples[a : a + m])
                 ab = np.abs(svals)
-                if float_mult.compute_bid(nt, ab) is not None:
-                    continue  # FloatMult: host pipeline (encs stays None)
-                if float_quant.compute_bid(nt, ab) is not None:
-                    continue  # FloatQuant: host pipeline
-        elif is_int_auto:
-            if ci in int_bases:
-                continue  # IntMult: host pipeline splits it (encs stays None)
-        if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
-            a, m = delta_spans[ci]
-            enc = cmp.choose_auto_delta_encoding_from_sample(
-                delta_samples[a : a + m], cn, int(ubls[ci]), lt
+                if (
+                    float_mult.compute_bid(nt, ab) is not None
+                    or float_quant.compute_bid(nt, ab) is not None
+                ):
+                    mode_is_host[ci] = True
+        elif is_int_auto and ci in int_bases:
+            mode_is_host[ci] = True
+
+    # ---- auto-delta decision from device-reduced candidate histograms ----
+    delta_encs: Dict[int, DeltaEncoding] = {}
+    if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+        dec_groups: Dict[tuple, list] = {}
+        for ci, cn in enumerate(chunk_ns):
+            if mode_is_host[ci]:
+                continue
+            dn = delta_spans[ci][1]
+            if dn < 2:
+                # degenerate sample: decide on host from a tiny fetch
+                a, m = delta_spans[ci]
+                sample = np.asarray(delta_s_dev[a : a + m]).astype(lt.np_dtype)
+                delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
+                    sample, cn, int(ubls[ci]), lt
+                )
+                continue
+            wlog = cmp.new_lookback(dn).window_n_log
+            dec_groups.setdefault((int(ubls[ci]), wlog), []).append(ci)
+        mo = c.MAX_CONSECUTIVE_DELTA_ORDER
+        n_cand = mo + 3
+        for (ubl_g, wlog), cis in dec_groups.items():
+            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+            m_max = int(lens_g.max())
+            dense_d, nbn_d = _phase_delta_candidates(
+                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
+                n_chunks=len(cis), m_max=m_max, max_order=mo,
+                nb_log=ubl_g, lat_bits=lt.bits, window_n_log=wlog,
             )
+            per_row = _fetch_packed_bins(dense_d, nbn_d)
+            lens64 = lens_g.astype(np.int64)
+            for k, ci in enumerate(cis):
+                cand_bins = []
+                for cand in range(n_cand):
+                    bins_list = per_row[k * n_cand + cand]
+                    if cand == 0:
+                        n_stored = int(lens64[k])
+                    elif cand <= mo:
+                        n_stored = max(int(lens64[k]) - cand, 0)
+                    else:
+                        n_stored = max(int(lens64[k]) - 1, 0)
+                    cand_bins.append((bins_list, n_stored))
+                delta_encs[ci] = cmp.choose_auto_delta_from_cand_bins(
+                    cand_bins, int(lens64[k]), chunk_ns[ci], ubl_g, lt
+                )
+
+    # ---- final per-chunk delta encodings ----
+    orders = np.zeros(n_chunks, dtype=np.int32)
+    encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
+    for ci, cn in enumerate(chunk_ns):
+        if mode_is_host[ci]:
+            continue  # IntMult/FloatMult/FloatQuant: host pipeline
+        if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+            enc = delta_encs[ci]
         elif config.delta_spec.kind == cmp.DeltaSpec.NO_OP:
             enc = DeltaEncoding.noop()
         else:  # TRY_CONSECUTIVE
@@ -571,7 +1042,23 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         lat_bits=nt.latent.bits,
     )
     moments = np.asarray(moments_dev)
-    Vn, Ln, Rn, SL1n, SRn, S0n = (np.asarray(x) for x in (V, L, R, SL1, SR, S0))
+
+    # ---- phase C: the quantile walk on device; fetch only the bins ----
+    # group device-path chunks by their nb_log (uniform chunk sizes share it)
+    hist_bins: Dict[int, list] = {}
+    by_ubl: Dict[int, list] = {}
+    for ci in range(n_chunks):
+        if encs[ci] is not None:
+            by_ubl.setdefault(int(ubls[ci]), []).append(ci)
+    for ubl_val, lanes in by_ubl.items():
+        nbg = 1 << ubl_val
+        sel = jnp.asarray(np.array(lanes, dtype=np.int32))
+        dense_d, nbn_d = _phase_walk(
+            V, L, R, SL1, SR, S0, jnp.asarray(nreal), sel, nb_log=ubl_val
+        )
+        per_row = _fetch_packed_bins(dense_d, nbn_d)
+        for k, ci in enumerate(lanes):
+            hist_bins[ci] = per_row[k]
 
     # ---- host: bins, metadata, jobs ----
     nums_np_cache: List[Optional[np.ndarray]] = [None]
@@ -604,13 +1091,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         order = int(orders[ci])
         nr = int(nreal[ci])
         nb_log = int(ubls[ci])
-        # slast: the last real sorted value == SR at the final run; derive it
-        # from the extract at the last bin position (c_count(nb-1) == nr)
-        slast = int(Vn[ci, (1 << nb_log) - 1])
-        unopt = histogram_from_extracts(
-            nr, nb_log, Vn[ci], Ln[ci], Rn[ci], SL1n[ci], SRn[ci], int(S0n[ci]), slast
-        )
-        trained = _train_from_histogram(unopt, nr, nb_log, lt)
+        trained = _train_from_histogram(hist_bins[ci], nr, nb_log, lt)
         bins = cmp.bins_from_infos(trained.infos, lt)
         lvc = cmp.LatentVarCompressor(trained, bins, None)
         var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
@@ -668,36 +1149,48 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
 def _train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type):
     """train_infos (codec/compress.py) with the histogram precomputed."""
-    from pcodec_tpu.format import ans
+    return cmp.train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type)
 
-    if n_latents == 0:
-        return cmp.TrainedBins([], 0, [])
-    n_log_ceil = 0 if n_latents <= 1 else (n_latents - 1).bit_length()
-    estimated = min(unoptimized_bins_log + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
-    infos = cmp.optimize_bins(unopt, estimated, latent_type)
-    counts = [i.weight for i in infos]
-    ans_size_log, weights = ans.quantize_weights(counts, n_latents, estimated)
-    for info, w in zip(infos, weights):
-        info.weight = w
-    return cmp.TrainedBins(infos, ans_size_log, counts)
+
+class _DevicePageInfos:
+    """Lazy PageInfo sequence: tens of thousands of pages per chunk make
+    eager construction a measurable part of plan time; the writer touches
+    each page once, so build on access instead.
+
+    Delta states are raw latents in page metadata — latent width matters
+    (metadata/page_latent_var.rs:18-50)."""
+
+    def __init__(self, per_page: List[int], order: int, chunk_moments: np.ndarray, nt):
+        self.per_page = per_page
+        self.order = order
+        ldt = nt.latent.np_dtype
+        if order:
+            self.states = np.ascontiguousarray(
+                chunk_moments[: len(per_page), :order]
+            ).astype(ldt)
+        else:
+            self.empty = np.zeros(0, dtype=ldt)
+        self.starts = np.concatenate([[0], np.cumsum(per_page)])
+
+    def __len__(self):
+        return len(self.per_page)
+
+    def __getitem__(self, pi):
+        if isinstance(pi, slice):
+            return [self[i] for i in range(*pi.indices(len(self)))]
+        pn = self.per_page[pi]
+        start = int(self.starts[pi])
+        end = start + pn
+        if self.order:
+            piv = cmp.PageInfoVar(self.states[pi], min(start + self.order, end), end)
+        else:
+            piv = cmp.PageInfoVar(self.empty, start, end)
+        return cmp.PageInfo(pn, PerLatentVar(None, piv, None))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
 
 def _device_page_infos(per_page: List[int], order: int, chunk_moments: np.ndarray, nt):
-    # delta states are raw latents in page metadata — latent width matters
-    # (metadata/page_latent_var.rs:18-50)
-    ldt = nt.latent.np_dtype
-    if order:
-        states = np.ascontiguousarray(chunk_moments[: len(per_page), :order]).astype(ldt)
-    else:
-        empty = np.zeros(0, dtype=ldt)
-    infos = []
-    start = 0
-    for pi, pn in enumerate(per_page):
-        end = start + pn
-        if order:
-            piv = cmp.PageInfoVar(states[pi], min(start + order, end), end)
-        else:
-            piv = cmp.PageInfoVar(empty, start, end)
-        infos.append(cmp.PageInfo(pn, PerLatentVar(None, piv, None)))
-        start = end
-    return infos
+    return _DevicePageInfos(per_page, order, chunk_moments, nt)

@@ -807,7 +807,14 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
         chunks.append(cp)
         page_cursor += n_pages
 
-    # ---- build launches ----
+    return DecodePlan(
+        idx=idx, chunks=chunks, launches=_build_launches(groups), raw2d=raw2d
+    )
+
+
+def _build_launches(groups: Dict[tuple, list]) -> Dict[tuple, Launch]:
+    """Assemble per-launch-key device arrays from grouped chain items (shared
+    by the PCT planner above and the standalone-chain planner below)."""
     launches: Dict[tuple, Launch] = {}
     for lkey, items in groups.items():
         fb, ob_class, lat32, page_n_launch, fuse = lkey
@@ -878,7 +885,263 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             n_chains=n_chains,
         )
 
-    return DecodePlan(idx=idx, chunks=chunks, launches=launches, raw2d=raw2d)
+    return launches
+
+
+# ---------------------------------------------------------------------------
+# standalone (.pco) planner: synthetic chains from the host boundary walk
+# ---------------------------------------------------------------------------
+
+
+def _consecutive_chain_streams(latents_u64, page_moments, order, latent_bits):
+    """Full-chunk intermediate cascade streams S_j mirroring
+    _consecutive_decode_batched: S_order = latents + mid (toggle center),
+    S_j[i] = m_j + cumsum(S_{j+1})[i-1]. A chain starting at latent position
+    p needs moments M_j = S_j[p]; S_0 is the numbers in latent domain.
+    Returns [S_0, ..., S_{order-1}] (u64, wrapping — only the low latent_bits
+    are semantic, same as the device cascade)."""
+    mid = np.uint64(1 << (latent_bits - 1))
+    s = latents_u64.astype(np.uint64) + mid
+    streams = []
+    for j in range(order - 1, -1, -1):
+        m = np.uint64(page_moments[j])
+        s = np.concatenate([[m], m + np.cumsum(s)])
+        streams.append(s)
+    streams.reverse()
+    return streams
+
+
+def plan_standalone(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
+    """Plan Pallas device decode of a plain standalone .pco file.
+
+    The standalone format stores no chunk sizes or batch entry points (ref:
+    standalone/decompressor.rs:83-134 — boundary discovery requires walking
+    the serial ANS stream), so a host pre-pass decodes each chunk once with
+    the native walker, capturing per-(batch, var) section cursors and ANS
+    entry states. Each chunk is then split into synthetic 1024-number chains
+    — exactly the entry points a PCT directory stores — and fed to the same
+    Pallas launches as the PCT path. Consecutive/conv1 chain states are
+    computed from the walked latents; lookback chunks (whole-window state)
+    fall back to the host result captured during the walk.
+    """
+    from pcodec_tpu.codec.decompress import PageDecompressor
+    from pcodec_tpu.codec.standalone import FileDecompressor
+    from pcodec_tpu.native import kernels as _nk
+    from pcodec_tpu.codec.container import _exact_split
+    from pcodec_tpu.delta import (
+        conv1_decode_in_place,
+    )
+
+    reader = BitReader(data)
+    fd = FileDecompressor.new(reader)
+
+    pad = (-len(data)) % 4096 + max_fetch_blocks * 4096
+    raw = np.frombuffer(data, dtype=np.uint8)
+    raw_p = np.zeros(len(data) + pad, dtype=np.uint8)
+    raw_p[: len(data)] = raw
+    raw2d = raw_p.view(np.int32).reshape(-1, 128)
+
+    groups: Dict[tuple, list] = {}
+    chunks: List[ChunkPlan] = []
+    chunk_metas: List[ChunkMeta] = []
+    chunk_ns: List[int] = []
+    nt = fd.uniform_type
+
+    while True:
+        pre = fd.chunk_preamble(reader)
+        if pre is None:
+            break
+        nt, n = pre
+        meta = ChunkMeta.read_from(reader, fd.format_version, nt.latent)
+        chunk_metas.append(meta)
+        chunk_ns.append(n)
+        meta_end_bit = reader.bit_idx
+
+        pd = PageDecompressor(reader, meta, nt, n)  # reads page meta
+        specs = []
+        for key in ("delta", "primary", "secondary"):
+            cld = pd.clds.get(key)
+            if cld is None:
+                continue
+            specs.append({
+                "key": key, "cld": cld, "pld": pd.plds.get(key),
+                "state_n": cld.delta_encoding.n_latents_per_state(),
+                "is_delta": key == "delta",
+            })
+        outs, counts, new_bit, bcur, bst = _nk.decode_page_pre_delta(
+            reader, n, specs, capture=True
+        )
+        if new_bit < 0 or new_bit > 8 * reader.size:
+            from pcodec_tpu.errors import InsufficientDataError
+
+            raise InsufficientDataError("page body ran out of data")
+        reader.bit_idx = new_bit
+        reader.drain_empty_byte("expected trailing bits at end of page to be empty")
+
+        de = meta.delta_encoding
+        supported = de.kind in (
+            DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE, DeltaEncoding.CONV1,
+        ) and n > 0
+        if meta.mode.kind == Mode.FLOAT_MULT and not float_mult_f64_device_ok(meta, nt):
+            supported = False
+
+        page_ns = np.array(_exact_split(n, 1024), dtype=np.int64)
+        n_chains = len(page_ns)
+        n_batches = bcur.shape[0]
+
+        cp = ChunkPlan(meta=meta, n=n, n_pages=n_chains, page_ns=page_ns, var_plans={})
+        if meta.mode.kind in (Mode.INT_MULT, Mode.FLOAT_MULT, Mode.FLOAT_QUANT):
+            cp.mode_scalar = int(meta.mode.payload)
+        elif meta.mode.kind == Mode.DICT:
+            cp.dict_vals = meta.mode.payload.astype(np.uint64)
+
+        launch_items = []
+        if supported:
+            for v, spec in enumerate(specs):
+                key = spec["key"]
+                vm = meta.per_latent_var.get(key)
+                de_v = meta.delta_encoding.for_latent_var(key)
+                state_n = de_v.n_latents_per_state()
+                bins = vm.bins
+                count_v = int(counts[v])
+
+                # chain states (moments) + fused m0 per chain
+                boundaries = np.arange(n_chains, dtype=np.int64) * 1024
+                if de_v.kind == DeltaEncoding.CONSECUTIVE:
+                    streams = _consecutive_chain_streams(
+                        outs[v][:count_v], spec["pld"].delta_state.astype(np.uint64),
+                        de_v.order, vm.latent_type.bits,
+                    )
+                    safe = np.minimum(boundaries, len(streams[0]) - 1)
+                    moments = np.stack([s[safe] for s in streams], axis=1)
+                    m0_stream = streams[0][safe]
+                elif de_v.kind == DeltaEncoding.CONV1:
+                    ldt = vm.latent_type.np_dtype
+                    work = np.zeros(n, dtype=ldt)
+                    work[:count_v] = outs[v][:count_v].astype(ldt)
+                    conv1_decode_in_place(de_v, spec["pld"].delta_state, work)
+                    k = de_v.order
+                    moments = np.zeros((n_chains, k), dtype=np.uint64)
+                    for r in range(n_chains):
+                        seg = work[1024 * r : 1024 * r + k].astype(np.uint64)
+                        moments[r, : len(seg)] = seg
+                    m0_stream = moments[:, 0]
+                else:
+                    moments = np.zeros((n_chains, 0), dtype=np.uint64)
+                    m0_stream = np.zeros(n_chains, dtype=np.uint64)
+
+                vp = VarPlan(
+                    key=key,
+                    trivial=bins.are_trivial() or len(bins) == 0,
+                    const_lower=int(bins.lowers[0]) if len(bins) else 0,
+                    state_n=state_n,
+                    moments=moments,
+                )
+                cp.var_plans[key] = vp
+                if vp.trivial:
+                    continue
+                max_ob = int(bins.max_offset_bits())
+                ob_class = 0 if max_ob == 0 else (30 if max_ob <= 30 else 64)
+                node, lowers = _build_var_tables(vm, 0)
+                lo_min = int(lowers.min()) if len(lowers) else 0
+                lo_max = int(lowers.max()) if len(lowers) else 0
+                lat32 = (lo_max - lo_min) + (1 << max_ob) < (1 << 32)
+                bias = lo_min if lat32 else 0
+                ts_real = max(len(node), 1)
+
+                # per-chain cursors from the walked batch cursors
+                g = np.minimum(
+                    boundaries[:, None] // 256 + np.arange(4)[None, :],
+                    n_batches - 1,
+                )
+                ans_starts = bcur[g, v, 0]  # (n_chains, 4)
+                off_starts = bcur[g, v, 1]
+                curs = np.zeros((n_chains, 8), dtype=np.int64)
+                curs[:, 0::2] = ans_starts
+                curs[:, 1::2] = off_starts
+                starts_blk = (ans_starts[:, 0] // 8) >> 12
+                # fetch extent: from aligned block start to the chain's end
+                chain_end_bit = np.where(
+                    boundaries // 256 + 4 >= n_batches,
+                    np.int64(new_bit),
+                    bcur[np.minimum(boundaries // 256 + 4, n_batches - 1), 0, 0],
+                )
+                extent = (chain_end_bit + 7) // 8 - (
+                    (ans_starts[:, 0] // 8) & ~np.int64(4095)
+                )
+                fb = int(-(-int(extent.max(initial=1)) // 4096))
+                if fb > max_fetch_blocks:
+                    supported = False
+                    break
+                body_n = np.clip(count_v - boundaries, 0, 1024)
+                states0 = bst[np.minimum(boundaries // 256, n_batches - 1), v].astype(
+                    np.int64
+                )
+
+                fuse = 0
+                if (
+                    key == "primary"
+                    and meta.mode.kind == Mode.CLASSIC
+                    and de.kind == DeltaEncoding.CONSECUTIVE
+                    and de.order == 1
+                    and nt.latent.bits == 64
+                    and nt.kind in ("signed", "unsigned")
+                ):
+                    fuse = 1 if nt.kind == "signed" else 2
+                launch_items.append({
+                    "node": node, "lowers": lowers, "bias": bias, "lat32": lat32,
+                    "ts_real": ts_real, "var": vp, "n_pages": n_chains,
+                    "starts_blk": starts_blk, "curs_abs": curs, "states0": states0,
+                    "body_n": body_n, "moment0": m0_stream, "fuse": fuse,
+                    "fb": fb, "ob_class": ob_class,
+                })
+
+        if not supported:
+            # host result is fully determined by the walk; rebuild it
+            out = np.zeros(n, dtype=nt.np_dtype)
+            reader.bit_idx = meta_end_bit
+            pd2 = PageDecompressor(reader, meta, nt, n)
+            pd2.read_page_fast(out)
+            cp.fallback = out
+            cp.var_plans = {}
+            chunks.append(cp)
+            continue
+
+        for it in launch_items:
+            vp = it.pop("var")
+            fb = it.pop("fb")
+            ob_class = it.pop("ob_class")
+            lkey = (fb, ob_class, it["lat32"], 1024, it["fuse"])
+            vp.launch_key = lkey
+            vp.lat32 = it["lat32"]
+            vp.bias = it["bias"]
+            it["var"] = vp
+            groups.setdefault(lkey, []).append(it)
+        chunks.append(cp)
+
+    if nt is None:
+        from pcodec_tpu.dtypes import number_type_from_np
+
+        nt = number_type_from_np(np.dtype(np.float64))
+    idx = ContainerIndex(
+        nt=nt,
+        n=int(np.sum(chunk_ns)) if chunk_ns else 0,
+        page_n_target=1024,
+        chunk_metas=chunk_metas,
+        chunk_ns=np.asarray(chunk_ns, dtype=np.int64),
+        chunk_meta_starts=np.zeros(len(chunk_ns), dtype=np.int64),
+        pages=[],
+        data=data,
+    )
+    return DecodePlan(idx=idx, chunks=chunks, launches=_build_launches(groups), raw2d=raw2d)
+
+
+def decode_standalone_device(data: bytes, plan: Optional[DecodePlan] = None):
+    """Decode a plain standalone .pco on the TPU via the Pallas chain path.
+    Returns (np.ndarray, device_fn, device_args) like decode_container_device."""
+    if plan is None:
+        plan = plan_standalone(data)
+    return decode_container_device(data, plan=plan)
 
 
 # ---------------------------------------------------------------------------

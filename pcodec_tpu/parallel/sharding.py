@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pcodec_tpu.ops.pallas_decode import TILE_CHAINS
 from pcodec_tpu.ops.decode import (
     TaskSchema,
     build_group_arrays,
@@ -112,6 +113,121 @@ def sharded_roundtrip_step(mesh: Mesh, arrays, node_flat, lower_flat, schema: Ta
 # ---------------------------------------------------------------------------
 
 
+def sharded_container_decode(data: bytes, mesh: Mesh = None):
+    """Bit-exact sharded PCT decode with per-device byte-range scatter.
+
+    The SURVEY §5 comm design: the host scatters to each device ONLY the
+    4 KB blocks its chains reference (the outer container knows every
+    page's byte range — no replication of the compressed buffer), chunk
+    tables are replicated (KB-scale), each device decodes its tile shard
+    with the Pallas kernels, and the decoded shards gather back to the
+    host, which byte-compares against the host decoder.
+
+    Covers fused single-launch containers (classic consecutive-order-1
+    64-bit — the flagship config); returns the decoded numpy array.
+    """
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is not None:
+        shard_map = partial(shard_map, check_vma=False)
+    else:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = partial(_sm, check_rep=False)
+
+    import pcodec_tpu.ops.pallas_decode as pd
+
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    plan = pd.plan_container(data)
+    assert len(plan.launches) == 1, "sharded decode expects one launch group"
+    (lkey, launch), = plan.launches.items()
+    schema = launch.schema
+    assert schema.fuse, "sharded decode covers the fused kernel path"
+    fb = schema.fetch_blocks
+
+    # pad tiles to a multiple of the mesh
+    n_tiles = launch.curs.shape[0]
+    pad_t = (-n_tiles) % nd
+    def padt(a):
+        if pad_t == 0:
+            return a
+        z = np.zeros((pad_t,) + a.shape[1:], dtype=a.dtype)
+        return np.concatenate([a, z])
+    curs = padt(launch.curs)
+    states0 = padt(launch.states0)
+    bodyn = padt(launch.bodyn)
+    tbl_ids = padt(launch.tbl_ids)
+    moments = padt(launch.moments)
+    tpd = curs.shape[0] // nd  # tiles per device
+
+    starts = launch.starts_blk
+    spad = nd * tpd * TILE_CHAINS - len(starts)
+    starts = np.concatenate([starts, np.zeros(spad, starts.dtype)])
+    cpd = len(starts) // nd
+
+    # ---- host scatter: per-device local block buffers ----
+    raw2d = plan.raw2d
+    local_starts = np.zeros((nd, cpd), dtype=np.int32)
+    uniq_per_dev = []
+    for d in range(nd):
+        sl = starts[d * cpd : (d + 1) * cpd]
+        uniq, inv = np.unique(sl, return_inverse=True)
+        uniq_per_dev.append(uniq)
+        local_starts[d] = (inv * fb).astype(np.int32)
+    max_u = max(len(u) for u in uniq_per_dev)
+    local_raw = np.zeros((nd, max_u * fb * 8, 128), dtype=np.int32)
+    n_blocks_total = raw2d.shape[0] // 8
+    for d, uniq in enumerate(uniq_per_dev):
+        for k, b in enumerate(uniq.tolist()):
+            hi = min(b + fb, n_blocks_total)
+            span = raw2d[b * 8 : hi * 8]
+            local_raw[d, k * fb * 8 : k * fb * 8 + span.shape[0]] = span
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    def step(local_raw, local_starts, curs, states0, bodyn, tbl_ids, moments,
+             tables):
+        sec = pd._realign(local_raw[0], local_starts[0], fb)
+        outs = pd._decode_call(
+            schema, sec, tables, curs, states0, bodyn, tbl_ids, moments
+        )
+        return outs
+
+    outs = jax.jit(step)(
+        jnp.asarray(local_raw), jnp.asarray(local_starts.reshape(nd, cpd)),
+        jnp.asarray(curs), jnp.asarray(states0), jnp.asarray(bodyn),
+        jnp.asarray(tbl_ids), jnp.asarray(moments), jnp.asarray(launch.tables),
+    )
+    # gather decoded shards; assemble final numbers on host
+    o0, o1 = (np.asarray(o) for o in outs)
+    T = o0.shape[0]
+    R = schema.rounds
+    x = np.stack(
+        [o0.reshape(T, R, 8, 32, 4), o1.reshape(T, R, 8, 32, 4)], axis=-1
+    )
+    mem = x.transpose(0, 3, 2, 1, 4, 5).reshape(T * TILE_CHAINS, schema.page_n, 2)
+
+    nt = plan.idx.nt
+    pieces = []
+    for cp in plan.chunks:
+        if cp.fallback is not None:
+            pieces.append(cp.fallback)
+            continue
+        vp = cp.var_plans["primary"]
+        rows = mem[vp.chain_start : vp.chain_start + cp.n_pages]
+        n_valid = (cp.n_pages - 1) * schema.page_n + int(cp.page_ns[-1])
+        flat = np.ascontiguousarray(rows.reshape(-1, 2)[:n_valid])
+        pieces.append(flat.view(np.uint64).reshape(-1).view(nt.np_dtype))
+    from pcodec_tpu.utils import concat
+
+    return concat(pieces)
+
+
 def sharded_container_decode_checksum(data: bytes, mesh: Mesh = None):
     """Decode a PCT container with decode tiles sharded data-parallel across
     the mesh, psum-reducing a checksum across devices (the collective rides
@@ -122,7 +238,12 @@ def sharded_container_decode_checksum(data: bytes, mesh: Mesh = None):
     Returns (checksum_i32, n_chains). Single-launch containers only (the
     common homogeneous case); use ops.pallas_decode directly otherwise.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is not None:
+        shard_map = partial(shard_map, check_vma=False)
+    else:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = partial(_sm, check_rep=False)
 
     import pcodec_tpu.ops.pallas_decode as pd
 
@@ -155,7 +276,6 @@ def sharded_container_decode_checksum(data: bytes, mesh: Mesh = None):
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(),
-        check_rep=False,
     )
     def step(raw2d, starts_blk, curs, states0, bodyn, tbl_ids, tables):
         sec = pd._realign(raw2d, starts_blk, schema.fetch_blocks)

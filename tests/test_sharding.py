@@ -30,6 +30,22 @@ def test_sharded_standalone_decode_bit_exact():
 
 
 @needs_mesh
+def test_sharded_container_scatter_decode_bit_exact():
+    # the real data path: per-device byte-range scatter, local Pallas decode,
+    # gather of decoded shards — no replication of the compressed buffer
+    from pcodec_tpu.codec.container import container_compress
+    from pcodec_tpu.parallel.sharding import sharded_container_decode
+
+    rng = np.random.default_rng(3)
+    nums = np.cumsum(rng.integers(0, 3000, 20_000)).astype(np.int64)
+    cfg = ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, 1))
+    data = container_compress(nums, cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    decoded = sharded_container_decode(data, mesh)
+    np.testing.assert_array_equal(decoded, nums)
+
+
+@needs_mesh
 def test_mesh_shapes():
     mesh = make_mesh(jax.devices()[:8])
     assert mesh.devices.size == 8
