@@ -175,6 +175,11 @@ def plan_standalone_file(data: bytes) -> DevicePlan:
             DeltaEncoding.CONSECUTIVE,
             DeltaEncoding.CONV1,
         ) or (de.kind == DeltaEncoding.LOOKBACK and de.state_n <= 32 and n > de.state_n)
+        if meta.mode.kind == Mode.FLOAT_MULT and nt.latent.bits == 64:
+            from pcodec_tpu.ops.pallas_decode import float_mult_f64_device_ok
+
+            if not float_mult_f64_device_ok(meta, nt):
+                supported = False
         if not supported:
             pd = PageDecompressor(reader, meta, nt, n)
             dst = np.zeros(n, dtype=nt.np_dtype)
@@ -567,23 +572,51 @@ def _join(nt: NumberType, mode_kind: str, mode_scalar, dict_vals, primary, secon
         lowest = jnp.where(y >= sign_cutoff, m, low_max - m)
         u_latent = ((y << k) + lowest) & mask
     elif mode_kind == Mode.FLOAT_MULT:
-        base_bits = _from_latent_ordered_u(nt, mode_scalar)
-        base_f = _bitcast_u64_to_float(nt, base_bits)
-        mult = _int_float_from_latent(nt, primary & mask)
-        unadj = mult * base_f
         mid = jnp.uint64(1 << (bits - 1))
-        u_latent = (_to_latent_ordered_float(nt, unadj) + (secondary & mask) + mid) & mask
+        if bits == 64:
+            # integer-exact softfloat multiply: TPU f64 is not bit-faithful
+            # and the X64 rewriter rejects f64-involved bitcasts here
+            # (planner gates chunks on float_mult_f64_device_ok)
+            from pcodec_tpu.ops import pallas_decode as _pd
+
+            l = primary & mask
+            neg = l < mid
+            abs_int = jnp.where(neg, (mid - jnp.uint64(1)) - l, l - mid)
+            base_bits = _from_latent_ordered_u(nt, mode_scalar)
+            unadj_mem = _pd._softfloat_mul_int_f64(abs_int, neg, base_bits)
+            unadj_neg = (unadj_mem >> jnp.uint64(63)) == 1
+            unadj_lat = jnp.where(unadj_neg, ~unadj_mem, unadj_mem ^ mid)
+            u_latent = (unadj_lat + (secondary & mask) + mid) & mask
+        else:
+            base_bits = _from_latent_ordered_u(nt, mode_scalar)
+            base_f = _bitcast_u64_to_float(nt, base_bits)
+            mult = _int_float_from_latent(nt, primary & mask)
+            unadj = mult * base_f
+            u_latent = (_to_latent_ordered_float(nt, unadj) + (secondary & mask) + mid) & mask
     else:
         raise NotImplementedError(mode_kind)
 
     mem = _from_latent_ordered_u(nt, u_latent)
     if nt.kind == "float":
-        return _bitcast_u64_to_float(nt, mem)
+        # return raw u64 memory bits: this TPU does not represent or
+        # transfer f64 bit-faithfully (NOTES.md); hosts view-cast via
+        # numbers_from_device_out
+        return mem
     if nt.kind == "signed":
         # same-width integer converts are bit-preserving (C static_cast)
         sdtype = {8: jnp.int8, 16: jnp.int16, 32: jnp.int32, 64: jnp.int64}[bits]
         return mem.astype(_uint_dtype(bits)).astype(sdtype)
     return mem.astype(_uint_dtype(bits))
+
+
+def numbers_from_device_out(nt: NumberType, arr: np.ndarray) -> np.ndarray:
+    """Host-side conversion of decode_group_kernel output to numbers
+    (floats come back as u64 memory bits)."""
+    if nt.kind == "float":
+        return np.ascontiguousarray(
+            np.asarray(arr).astype(nt.latent.np_dtype)
+        ).view(nt.np_dtype)
+    return np.asarray(arr).astype(nt.np_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -742,7 +775,7 @@ def decode_standalone_with_device(data: bytes, time_it: bool = False):
         out_np = np.asarray(out)
         for i, ti in enumerate(tis):
             t = plan.tasks[ti]
-            task_outputs[ti] = out_np[i, : t.n].astype(t.nt.np_dtype)
+            task_outputs[ti] = numbers_from_device_out(t.nt, out_np[i, : t.n])
 
     pieces = []
     for kind, idx in plan.order_keys:

@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pcodec_tpu.ops.pallas_decode import TILE_CHAINS
 from pcodec_tpu.ops.decode import (
     TaskSchema,
+    numbers_from_device_out,
     build_group_arrays,
     decode_group_kernel,
     group_tasks,
@@ -72,7 +73,7 @@ def sharded_decode_standalone(data: bytes, mesh: Mesh = None):
         out = sharded_decode_group(mesh, arrays, node_flat, lower_flat, schema)
         for i, ti in enumerate(tis):
             t = plan.tasks[ti]
-            task_outputs[ti] = out[i, : t.n].astype(t.nt.np_dtype)
+            task_outputs[ti] = numbers_from_device_out(t.nt, out[i, : t.n])
 
     pieces = []
     for kind, idx in plan.order_keys:
