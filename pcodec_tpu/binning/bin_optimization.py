@@ -60,13 +60,23 @@ def _bits_to_encode_offset_vec(diffs_u64: np.ndarray) -> np.ndarray:
 
 
 def optimize_bins(hist_bins, ans_size_log: int, latent_type: LatentType):
-    """list[HistogramBin] -> list[BinCompressionInfo] (ref: bin_optimization.rs:180-199)."""
-    n = len(hist_bins)
-    if n == 0:
-        return []
-    counts = np.array([b.count for b in hist_bins], dtype=np.uint64)
-    lowers = np.array([b.lower for b in hist_bins], dtype=np.uint64)
-    uppers = np.array([b.upper for b in hist_bins], dtype=np.uint64)
+    """list[HistogramBin] OR (counts, lowers, uppers) u64 arrays ->
+    list[BinCompressionInfo] (ref: bin_optimization.rs:180-199)."""
+    if isinstance(hist_bins, tuple):
+        counts, lowers, uppers = hist_bins
+        counts = np.asarray(counts, dtype=np.uint64)
+        lowers = np.asarray(lowers, dtype=np.uint64)
+        uppers = np.asarray(uppers, dtype=np.uint64)
+        n = len(counts)
+        if n == 0:
+            return []
+    else:
+        n = len(hist_bins)
+        if n == 0:
+            return []
+        counts = np.array([b.count for b in hist_bins], dtype=np.uint64)
+        lowers = np.array([b.lower for b in hist_bins], dtype=np.uint64)
+        uppers = np.array([b.upper for b in hist_bins], dtype=np.uint64)
 
     partitioning = _choose_optimized_partitioning(counts, lowers, uppers, ans_size_log, latent_type)
     c_counts = np.concatenate([[0], np.cumsum(counts)])

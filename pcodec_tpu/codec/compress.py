@@ -542,22 +542,59 @@ def sample_cost_from_unopt(delta_encoding: DeltaEncoding, per_var: dict,
                            ubl: int, number_lt: LatentType) -> float:
     """_compressed_sample_size computed from precomputed unoptimized
     histograms instead of the sample itself. per_var maps latent-var key ->
-    (list[HistogramBin], n_stored); classic mode, single page."""
-    var_metas = PerLatentVar()
+    ((counts, lowers, uppers) u64 arrays OR list[HistogramBin], n_stored);
+    classic mode, single page. Fully array-based: identical math to the
+    TrainedBins path without per-bin Python objects (this runs per delta
+    candidate per chunk in the encode hot path)."""
+    from pcodec_tpu.binning.bin_optimization import (
+        _bits_to_encode_offset_vec,
+        _choose_optimized_partitioning,
+    )
+    from pcodec_tpu.format.metadata import MAX_DELTA_ENCODING_BIT_SIZE
+
+    meta_bits = c.BITS_TO_ENCODE_MODE_VARIANT + MAX_DELTA_ENCODING_BIT_SIZE
+    page_meta_bits = 0
     body_bits = 0
     for key in ("delta", "primary"):
         if key not in per_var:
             continue
         unopt, n_stored = per_var[key]
         var_lt = U32 if key == "delta" else number_lt
-        trained = train_from_histogram(unopt, n_stored, ubl, var_lt)
-        bins = bins_from_infos(trained.infos, var_lt)
-        avg = bins.avg_bits_per_latent(trained.ans_size_log) if len(bins) else 0.0
-        var_metas.set(key, ChunkLatentVarMeta(trained.ans_size_log, bins))
+        if isinstance(unopt, tuple):
+            counts, lowers, uppers = (np.asarray(a, dtype=np.uint64) for a in unopt)
+        else:
+            counts = np.array([b.count for b in unopt], dtype=np.uint64)
+            lowers = np.array([b.lower for b in unopt], dtype=np.uint64)
+            uppers = np.array([b.upper for b in unopt], dtype=np.uint64)
+        if n_stored == 0 or len(counts) == 0:
+            n_bins, asl, avg = 0, 0, 0.0
+        else:
+            n_log_ceil = 0 if n_stored <= 1 else (n_stored - 1).bit_length()
+            estimated = min(ubl + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
+            part = _choose_optimized_partitioning(counts, lowers, uppers, estimated, var_lt)
+            js = np.fromiter((p[0] for p in part), dtype=np.int64, count=len(part))
+            is_ = np.fromiter((p[1] for p in part), dtype=np.int64, count=len(part))
+            c_counts = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint64)
+            w = (c_counts[is_ + 1] - c_counts[js]).astype(np.int64)
+            ob = _bits_to_encode_offset_vec(uppers[is_] - lowers[js])
+            asl, weights = ans.quantize_weights(w.tolist(), n_stored, estimated)
+            warr = np.asarray(weights, dtype=np.float64)
+            # Bins.avg_bits_per_latent, same numpy ops/order
+            ans_bits = asl - np.log2(warr)
+            avg = float(np.sum(
+                (ans_bits + ob.astype(np.uint32)) * warr / float(1 << asl)
+            ))
+            n_bins = len(part)
+        meta_bits += (
+            c.BITS_TO_ENCODE_ANS_SIZE_LOG
+            + c.BITS_TO_ENCODE_N_BINS
+            + n_bins * (asl + var_lt.bits + var_lt.offset_bits_bits)
+        )
+        de_v = delta_encoding.for_latent_var(key)
+        page_meta_bits += asl * c.ANS_INTERLEAVING + var_lt.bits * de_v.n_latents_per_state()
         body_bits += int(np.ceil(n_stored * avg * 1.0))
-    meta = ChunkMeta(Mode(Mode.CLASSIC), delta_encoding, var_metas, number_lt)
     return float(
-        meta.max_size() + meta.exact_page_meta_size() + (body_bits + 7) // 8
+        (meta_bits + 7) // 8 + (page_meta_bits + 7) // 8 + (body_bits + 7) // 8
     )
 
 
@@ -590,6 +627,45 @@ def choose_auto_delta_from_cand_bins(cand_bins, sample_n: int, n: int, ubl: int,
             best_cost = cost
         else:
             break  # it's almost always convex
+    return best
+
+
+def orders_chain_from_cand_bins(cand_bins, ubl: int, lt: LatentType):
+    """The no-lookback part of the auto-delta chain from device bins.
+    Returns chain_costs = [noop_cost, order1_cost, ...] up to and including
+    the first non-improving order (the reference's break point). The true
+    decision with the lookback candidate inserted breaks no later, so these
+    costs are sufficient for finalize_delta_choice."""
+    costs = [sample_cost_from_unopt(
+        DeltaEncoding.noop(), {"primary": cand_bins[0]}, ubl, lt)]
+    best_cost = costs[0]
+    for order in range(1, c.MAX_CONSECUTIVE_DELTA_ORDER + 1):
+        cost = sample_cost_from_unopt(
+            DeltaEncoding.consecutive(order), {"primary": cand_bins[order]}, ubl, lt)
+        costs.append(cost)
+        if cost < best_cost:
+            best_cost = cost
+        else:
+            break
+    return costs
+
+
+def finalize_delta_choice(chain_costs, lb_cost_with_penalty, n: int) -> DeltaEncoding:
+    """The reference decision sequence (chunk_compressor.rs:341-395) given
+    precomputed candidate costs: noop -> (lookback, already penalty-added,
+    or None when untriggered/unevaluated) -> consecutive orders."""
+    best = DeltaEncoding.noop()
+    best_cost = chain_costs[0]
+    if lb_cost_with_penalty is not None and lb_cost_with_penalty < best_cost:
+        best = new_lookback(n)
+        best_cost = lb_cost_with_penalty
+    for order in range(1, len(chain_costs)):
+        cost = chain_costs[order]
+        if cost < best_cost:
+            best = DeltaEncoding.consecutive(order)
+            best_cost = cost
+        else:
+            break
     return best
 
 

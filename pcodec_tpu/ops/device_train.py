@@ -40,6 +40,30 @@ from pcodec_tpu.modes import int_mult
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+_TRAIN_TRACE = bool(int(__import__("os").environ.get("PCODEC_TRAIN_TRACE", "0")))
+
+
+def _prefetch(*arrays):
+    """Start async device->host copies so later np.asarray calls hit the
+    host cache instead of issuing serial RPCs."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+
+
+def _trace(label, t0):
+    import time as _t
+
+    if _TRAIN_TRACE:
+        print(f"    [train] {label}: {_t.time() - t0:.3f}s", flush=True)
+    return _t.time()
+
+# uploaded sample-index device arrays, keyed by chunk layout (see
+# plan_encode_device: the indices are deterministic given the layout)
+_IDX_UPLOAD_CACHE: Dict[tuple, tuple] = {}
+
 
 def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: int) -> bool:
     """Chunks the device-train path covers; everything else falls back to the
@@ -238,22 +262,31 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
 _GCD_K = 256  # unique-GCD slots per chunk fetched from device
 
 
-def _int_bases_device(mode_s_dev, mode_spans, chunk_ns, lt) -> Dict[int, int]:
-    """IntMult screening without fetching the mode sample: device triple-GCD
-    unique counts -> host scoring (small exact f64 math) -> one batched
-    device keep-count pass for surviving candidates. Returns {ci: base}.
-    Matches int_mult.choose_base_from_sample exactly; chunks whose unique
-    GCD count overflows the fetch window fall back to a sample fetch."""
+def _int_bases_dispatch(mode_s_dev, mode_spans, chunk_ns):
+    """Dispatch the triple-GCD screening (no fetch) so the device can work
+    on it while the host dispatches later phases. Returns a handle for
+    _int_bases_collect, or None when there are no triples."""
     n_chunks = len(chunk_ns)
     starts = np.array([a for a, _ in mode_spans], dtype=np.int32)
     lens = np.array([m for _, m in mode_spans], dtype=np.int32)
     m_max = int(lens.max()) if n_chunks else 0
     if m_max < 3:
-        return {}
-    vals_d, cnts_d, nuniq_d = _phase_int_gcd(
+        return None
+    devs = _phase_int_gcd(
         mode_s_dev, jnp.asarray(starts), jnp.asarray(lens),
         n_chunks=n_chunks, m_max=m_max, k=_GCD_K,
     )
+    return devs, starts, lens, m_max
+
+
+def _int_bases_collect(handle, mode_s_dev, chunk_ns, lt) -> Dict[int, int]:
+    """Fetch + score the dispatched GCD screening (see _int_bases_dispatch).
+    Matches int_mult.choose_base_from_sample exactly; chunks whose unique
+    GCD count overflows the fetch window fall back to a sample fetch."""
+    if handle is None:
+        return {}
+    (vals_d, cnts_d, nuniq_d), starts, lens, m_max = handle
+    n_chunks = len(chunk_ns)
     vals = np.asarray(vals_d)
     cnts = np.asarray(cnts_d)
     nuniq = np.asarray(nuniq_d)
@@ -604,19 +637,18 @@ def _pack_bins_dense(co, lo, up, nbn):
 
 
 def _fetch_packed_bins(dense_d, nbn_d):
-    """Fetch device-packed bins; returns (per-row lists of HistogramBin)."""
+    """Fetch device-packed bins; returns per-row (counts, lowers, uppers)
+    u64 array triplets (array views, no per-bin Python objects — tens of
+    thousands of bins per plan make object churn a measurable host cost)."""
     nbn = np.asarray(nbn_d)
     total = int(nbn.sum())
-    dense = np.asarray(dense_d[:total]) if total else np.zeros((0, 3), np.uint64)
+    dense = np.asarray(dense_d)[:total] if total else np.zeros((0, 3), np.uint64)
     out = []
     pos = 0
     for r in range(len(nbn)):
         k = int(nbn[r])
-        out.append([
-            HistogramBin(int(dense[pos + i, 2]), int(dense[pos + i, 0]),
-                         int(dense[pos + i, 1]))
-            for i in range(k)
-        ])
+        out.append((dense[pos : pos + k, 2], dense[pos : pos + k, 0],
+                    dense[pos : pos + k, 1]))
         pos += k
     return out
 
@@ -646,16 +678,23 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 
 @partial(jax.jit, static_argnames=(
-    "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log"))
+    "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
+    "include_lookback"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
-                            nb_log, lat_bits, window_n_log):
-    """Histogram bins for every auto-delta candidate, reduced on device.
+                            nb_log, lat_bits, window_n_log,
+                            include_lookback=True):
+    """Histogram bins for auto-delta candidates, reduced on device.
 
     Candidates per chunk (row-major in the output): noop, consecutive 1..
-    max_order, lookback primary deltas, lookback values. The host then runs
-    the reference decision (chunk_compressor.rs:341-395) from the bins alone
-    — no sample fetch. Returns (counts, lowers, uppers, n_bins) of shape
-    (n_chunks * (max_order + 3), nb)."""
+    max_order, and (include_lookback only) lookback primary deltas +
+    lookback values. The host runs the reference decision
+    (chunk_compressor.rs:341-395) from the bins alone. The production plan
+    uses include_lookback=False: the 16-candidate chooser is latency-bound
+    on device (a ~21k-step sequential scan of ~1us HBM ops), so the
+    lookback candidate is evaluated on the HOST from one batched sample
+    fetch, overlapped with phase B — safe because the final decision is
+    provably either the orders-only (speculated) choice or lookback itself,
+    and lookback-winning chunks route to the host pipeline anyway."""
     pos = jnp.arange(m_max, dtype=jnp.int32)[None, :]
     idx = jnp.clip(starts[:, None] + pos, 0, delta_s.shape[0] - 1)
     valid = pos < lens[:, None]
@@ -686,6 +725,12 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
         rows.append(jnp.where((col >= k) & valid, vals, U64_MAX))
         n_stored_rows.append(jnp.maximum(lens64 - k, 0))
     # lookback: chooser + primary deltas + the lookback latent var
+    if not include_lookback:
+        n_cand = len(rows)  # max_order + 1
+        sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
+        n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
+        co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
+        return _pack_bins_dense(co, lo, up, nbn), nbn
     lbs = _choose_lookbacks_device(sm, lens, lat_bits, window_n_log, 1)
     lb_full = jnp.concatenate(
         [jnp.ones((n_chunks, 1), jnp.int32), lbs], axis=1
@@ -799,6 +844,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     from pcodec_tpu.dtypes import number_type_from_np
     from pcodec_tpu.ops.pallas_encode import build_enc_tables
 
+    import time as _time
+    _t0 = _time.time()
     config = config or ChunkConfig()
     nt = number_type_from_np(np.dtype(nums.dtype))
     config.validate(nt.latent)
@@ -903,11 +950,28 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     mode_idx = np.concatenate(mode_idx_parts) if mode_idx_parts else np.zeros(0, np.int64)
     delta_idx = np.concatenate(delta_idx_parts) if delta_idx_parts else np.zeros(0, np.int64)
 
+    # The sample index arrays are deterministic functions of the chunk layout
+    # (~n/40 i64 indices = the dominant host->device upload); cache the
+    # uploaded device copies across calls. Float-auto mode indices depend on
+    # per-draw keep flags (data), so those upload fresh.
+    ckey = (tuple(chunk_ns), page_n)
+    cached = None if is_float_auto else _IDX_UPLOAD_CACHE.get(ckey)
+    if cached is None:
+        mode_idx_dev = jnp.asarray(mode_idx)
+        delta_idx_dev = jnp.asarray(delta_idx)
+        if not is_float_auto:
+            if len(_IDX_UPLOAD_CACHE) > 8:
+                _IDX_UPLOAD_CACHE.clear()
+            _IDX_UPLOAD_CACHE[ckey] = (mode_idx_dev, delta_idx_dev)
+    else:
+        mode_idx_dev, delta_idx_dev = cached
+
+    _t0 = _trace("bookkeeping+indices", _t0)
     # ---- phase A: bijection + samples ----
     lat2d, mode_s_dev, delta_s_dev = _phase_latents(
         nums_dev,
-        jnp.asarray(mode_idx),
-        jnp.asarray(delta_idx),
+        mode_idx_dev,
+        delta_idx_dev,
         kind=nt.kind,
         mid=int(nt.latent.mid),
         total_rows=total_rows,
@@ -918,19 +982,57 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # The mode sample (~n/40 latents) is only fetched for float auto-mode
     # bids; IntMult screening and the auto-delta candidate histograms are
     # reduced on device, so the delta sample is never fetched either.
+    _t0 = _trace("phaseA dispatch", _t0)
     is_int_auto = nt.kind != "float" and config.mode_spec.kind == ModeSpec.AUTO
+    ubls = np.zeros(n_chunks, dtype=np.int32)
+    for ci, cn in enumerate(chunk_ns):
+        ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
+
+    # dispatch the IntMult screening AND all delta-candidate groups before
+    # any fetch: the device works through them while the host blocks on the
+    # (slow, tunnel-bound) result transfers
+    gcd_handle = (
+        _int_bases_dispatch(mode_s_dev, mode_spans, chunk_ns) if is_int_auto else None
+    )
+    cand_handles = []
+    mo = c.MAX_CONSECUTIVE_DELTA_ORDER
+    n_cand = mo + 1  # noop + orders; the lookback candidate is host-evaluated
+    if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+        dec_groups: Dict[tuple, list] = {}
+        for ci, cn in enumerate(chunk_ns):
+            dn = delta_spans[ci][1]
+            if dn < 2:
+                continue  # degenerate: host decision from a tiny fetch below
+            dec_groups.setdefault(int(ubls[ci]), []).append(ci)
+        for ubl_g, cis in dec_groups.items():
+            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+            m_max = int(lens_g.max())
+            devs = _phase_delta_candidates(
+                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
+                n_chunks=len(cis), m_max=m_max, max_order=mo,
+                nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
+                include_lookback=False,
+            )
+            cand_handles.append((ubl_g, cis, lens_g, devs))
+
+    if gcd_handle is not None:
+        _prefetch(*gcd_handle[0])
+    for _g in cand_handles:
+        _prefetch(*_g[3])
+    _prefetch(delta_s_dev)
+    _t0 = _trace("gcd+cand dispatch", _t0)
     mode_samples = (
         np.asarray(mode_s_dev).astype(lt.np_dtype) if is_float_auto else None
     )
-    int_bases: Dict[int, int] = (
-        _int_bases_device(mode_s_dev, mode_spans, chunk_ns, lt) if is_int_auto else {}
+    int_bases: Dict[int, int] = _int_bases_collect(
+        gcd_handle, mode_s_dev, chunk_ns, lt
     )
 
+    _t0 = _trace("gcd collect", _t0)
     # ---- mode routing (host pipeline for IntMult/Float-mode winners) ----
-    ubls = np.zeros(n_chunks, dtype=np.int32)
     mode_is_host = np.zeros(n_chunks, dtype=bool)
     for ci, cn in enumerate(chunk_ns):
-        ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
         if is_float_auto:
             a, m = mode_spans[ci]
             if m:
@@ -948,52 +1050,40 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         elif is_int_auto and ci in int_bases:
             mode_is_host[ci] = True
 
-    # ---- auto-delta decision from device-reduced candidate histograms ----
+    # ---- speculative auto-delta decision (no-lookback chain) ----
+    # The true decision is provably either this chain\'s choice or lookback
+    # itself (a smaller intermediate best only makes orders break earlier);
+    # lookback costs are evaluated on the host after phase B dispatches, and
+    # lookback-winning chunks flip to the host pipeline (which re-derives
+    # everything from the numbers).
     delta_encs: Dict[int, DeltaEncoding] = {}
+    spec_chains: Dict[int, list] = {}
     if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
-        dec_groups: Dict[tuple, list] = {}
         for ci, cn in enumerate(chunk_ns):
-            if mode_is_host[ci]:
-                continue
-            dn = delta_spans[ci][1]
-            if dn < 2:
-                # degenerate sample: decide on host from a tiny fetch
+            if not mode_is_host[ci] and delta_spans[ci][1] < 2:
                 a, m = delta_spans[ci]
                 sample = np.asarray(delta_s_dev[a : a + m]).astype(lt.np_dtype)
                 delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
                     sample, cn, int(ubls[ci]), lt
                 )
+        for ubl_g, cis, lens_g, (dense_d, nbn_d) in cand_handles:
+            if all(mode_is_host[ci] for ci in cis):
                 continue
-            wlog = cmp.new_lookback(dn).window_n_log
-            dec_groups.setdefault((int(ubls[ci]), wlog), []).append(ci)
-        mo = c.MAX_CONSECUTIVE_DELTA_ORDER
-        n_cand = mo + 3
-        for (ubl_g, wlog), cis in dec_groups.items():
-            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
-            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
-            m_max = int(lens_g.max())
-            dense_d, nbn_d = _phase_delta_candidates(
-                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
-                n_chunks=len(cis), m_max=m_max, max_order=mo,
-                nb_log=ubl_g, lat_bits=lt.bits, window_n_log=wlog,
-            )
             per_row = _fetch_packed_bins(dense_d, nbn_d)
             lens64 = lens_g.astype(np.int64)
             for k, ci in enumerate(cis):
+                if mode_is_host[ci]:
+                    continue
                 cand_bins = []
                 for cand in range(n_cand):
                     bins_list = per_row[k * n_cand + cand]
-                    if cand == 0:
-                        n_stored = int(lens64[k])
-                    elif cand <= mo:
-                        n_stored = max(int(lens64[k]) - cand, 0)
-                    else:
-                        n_stored = max(int(lens64[k]) - 1, 0)
+                    n_stored = max(int(lens64[k]) - cand, 0)
                     cand_bins.append((bins_list, n_stored))
-                delta_encs[ci] = cmp.choose_auto_delta_from_cand_bins(
-                    cand_bins, int(lens64[k]), chunk_ns[ci], ubl_g, lt
-                )
+                chain = cmp.orders_chain_from_cand_bins(cand_bins, ubl_g, lt)
+                spec_chains[ci] = chain
+                delta_encs[ci] = cmp.finalize_delta_choice(chain, None, chunk_ns[ci])
 
+    _t0 = _trace("cand fetch+decisions", _t0)
     # ---- final per-chunk delta encodings ----
     orders = np.zeros(n_chunks, dtype=np.int32)
     encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
@@ -1029,6 +1119,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         j = np.arange(nb, dtype=np.int64)
         cc_pos = ((j + 1) * nr + nb - 1) >> int(ubls[ci])
         extract_idx[ci, :nb] = np.minimum(cc_pos - 1, max(nr - 1, 0))
+    _t0 = _trace("enc resolution", _t0)
     dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
         lat2d,
         jnp.asarray(order_row),
@@ -1041,25 +1132,59 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         page_n=page_n,
         lat_bits=nt.latent.bits,
     )
-    moments = np.asarray(moments_dev)
+    _t0 = _trace("phaseB dispatch", _t0)
 
-    # ---- phase C: the quantile walk on device; fetch only the bins ----
-    # group device-path chunks by their nb_log (uniform chunk sizes share it)
-    hist_bins: Dict[int, list] = {}
+    # ---- phase C dispatch: the quantile walk on device (fetch deferred) ----
+    hist_handles = []
     by_ubl: Dict[int, list] = {}
     for ci in range(n_chunks):
         if encs[ci] is not None:
             by_ubl.setdefault(int(ubls[ci]), []).append(ci)
     for ubl_val, lanes in by_ubl.items():
-        nbg = 1 << ubl_val
         sel = jnp.asarray(np.array(lanes, dtype=np.int32))
         dense_d, nbn_d = _phase_walk(
             V, L, R, SL1, SR, S0, jnp.asarray(nreal), sel, nb_log=ubl_val
         )
+        hist_handles.append((lanes, dense_d, nbn_d))
+        _prefetch(dense_d, nbn_d)
+    _prefetch(moments_dev)
+
+    # ---- host lookback candidate (overlaps device phase B + walk) ----
+    # evaluated whenever the reference would (noop cost > penalty), from one
+    # batched sample fetch; if the true decision differs from the speculated
+    # chain (== lookback wins, per the chain theorem above), the chunk flips
+    # to the host pipeline, which re-derives everything from the numbers.
+    lb_pending = [
+        ci for ci in spec_chains
+        if encs[ci] is not None
+        and spec_chains[ci][0]
+        > cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * delta_spans[ci][1]
+    ]
+    if lb_pending:
+        delta_samples = np.asarray(delta_s_dev)
+        for ci in lb_pending:
+            a, dn = delta_spans[ci]
+            sample = delta_samples[a : a + dn].astype(lt.np_dtype)
+            penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
+            lb_cost = cmp._compressed_sample_size(
+                sample, int(ubls[ci]), cmp.new_lookback(dn), lt
+            ) + penalty
+            true = cmp.finalize_delta_choice(spec_chains[ci], lb_cost, chunk_ns[ci])
+            enc = encs[ci]
+            if (true.kind, true.order) != (enc.kind, enc.order):
+                encs[ci] = None  # lookback (or theorem violation): host path
+    _t0 = _trace("lookback host eval", _t0)
+
+    moments = np.asarray(moments_dev)
+    _t0 = _trace("moments fetch", _t0)
+
+    hist_bins: Dict[int, list] = {}
+    for lanes, dense_d, nbn_d in hist_handles:
         per_row = _fetch_packed_bins(dense_d, nbn_d)
         for k, ci in enumerate(lanes):
             hist_bins[ci] = per_row[k]
 
+    _t0 = _trace("walk+bins fetch", _t0)
     # ---- host: bins, metadata, jobs ----
     nums_np_cache: List[Optional[np.ndarray]] = [None]
 
@@ -1144,6 +1269,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         groups.setdefault(key, []).append(job)
         chunk_jobs[ci] = ("device", job)
 
+    _t0 = _trace("host train+jobs", _t0)
     return nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows
 
 

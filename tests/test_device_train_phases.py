@@ -137,3 +137,16 @@ def test_device_delta_decision_matches_host(name, sample):
     got = cmp.choose_auto_delta_from_cand_bins(cand_bins, dn, n_chunk, ubl, lt)
     assert (got.kind, got.order, got.window_n_log) == (
         ref.kind, ref.order, ref.window_n_log), (name, got, ref)
+
+    # the production (speculative) path: orders chain from device bins +
+    # host-evaluated lookback cost, finalized — must equal the host decision
+    chain = cmp.orders_chain_from_cand_bins(cand_bins[: mo + 1], ubl, lt)
+    lb_cost = None
+    penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
+    if chain[0] > penalty:
+        lb_cost = cmp._compressed_sample_size(
+            sample.astype(lt.np_dtype), ubl, cmp.new_lookback(dn), lt
+        ) + penalty
+    spec = cmp.finalize_delta_choice(chain, lb_cost, n_chunk)
+    assert (spec.kind, spec.order, spec.window_n_log) == (
+        ref.kind, ref.order, ref.window_n_log), (name, spec, ref)
