@@ -132,6 +132,11 @@ _lib.pco_write_bits.restype = None
 _lib.pco_write_bits.argtypes = [
     _u64p, _i64p, ctypes.c_longlong, ctypes.c_longlong, _u8p,
 ]
+_lib.pco_interleave_sections.restype = ctypes.c_longlong
+_lib.pco_interleave_sections.argtypes = [
+    ctypes.POINTER(ctypes.c_void_p), _i64p, ctypes.c_longlong,
+    ctypes.c_longlong, _u8p, ctypes.c_longlong,
+]
 _vpp = ctypes.POINTER(ctypes.c_void_p)
 _lib.pco_decode_page_pre_delta.restype = ctypes.c_longlong
 _lib.pco_decode_page_pre_delta.argtypes = [
@@ -324,6 +329,33 @@ def choose_lookbacks_native(window_n_log: int, state_n: int, latents: np.ndarray
             _ptr(out, ctypes.c_uint32),
         )
     return out
+
+
+def interleave_sections(srcs, seclens: np.ndarray, dst: np.ndarray,
+                        dst_start_bit: int) -> int:
+    """Interleave per-var packed section streams into a page body: per
+    batch, per var, [ans bits][offset bits]. srcs = list of uint8 arrays
+    (each var's own packed stream, 8 bytes slack at the end); seclens =
+    int64[(n_vars, 2, n_batches)] bit lengths. Returns bits written. dst
+    must be zeroed past dst_start_bit with 8 bytes of slack."""
+    n_vars, two, n_batches = seclens.shape
+    assert two == 2
+    padded = []
+    for s in srcs:
+        # copy_bits reads in 8-byte windows; guarantee slack past the end
+        s2 = np.empty(len(s) + 8, np.uint8)
+        s2[: len(s)] = s
+        padded.append(s2)
+    arr = (ctypes.c_void_p * n_vars)(
+        *[s.ctypes.data_as(ctypes.c_void_p) for s in padded]
+    )
+    return _lib.pco_interleave_sections(
+        arr,
+        _ptr(np.ascontiguousarray(seclens, dtype=np.int64), ctypes.c_int64),
+        n_vars, n_batches,
+        _ptr(dst, ctypes.c_uint8),
+        dst_start_bit,
+    )
 
 
 def write_bits(vals: np.ndarray, bitlens: np.ndarray, start_bit: int, dst: np.ndarray) -> None:

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 static inline uint64_t u64_at(const uint8_t* src, size_t byte_idx) {
   uint64_t v;
@@ -173,6 +174,65 @@ void pco_write_bits(
     }
     bit += bitlens[i];
   }
+}
+
+// Copy `nbits` bits from src (starting at src_bit) into dst (starting at
+// dst_bit). LSB-first bit order (the pco wire order). dst must be zeroed
+// past dst_bit; dst needs 8 writable bytes beyond its last touched byte.
+static void copy_bits(uint8_t* dst, long long dst_bit,
+                      const uint8_t* src, long long src_bit,
+                      long long nbits) {
+  while (nbits > 0) {
+    size_t sbyte = (size_t)(src_bit >> 3);
+    uint32_t ssh = (uint32_t)(src_bit & 7);
+    uint64_t w;
+    std::memcpy(&w, src + sbyte, 8);
+    w >>= ssh;
+    long long take = 64 - (long long)ssh;
+    if (take > nbits) take = nbits;
+    if (take < 64) w &= (take == 64) ? ~0ull : ((1ull << take) - 1ull);
+    size_t dbyte = (size_t)(dst_bit >> 3);
+    uint32_t dsh = (uint32_t)(dst_bit & 7);
+    uint64_t cur;
+    std::memcpy(&cur, dst + dbyte, 8);
+    cur |= w << dsh;
+    std::memcpy(dst + dbyte, &cur, 8);
+    if (dsh > 0) {
+      uint8_t hi = (uint8_t)(w >> (64 - dsh));
+      dst[dbyte + 8] |= hi;
+    }
+    src_bit += take;
+    dst_bit += take;
+    nbits -= take;
+  }
+}
+
+// Interleave per-var packed section streams into one page body stream:
+// for each batch b, for each var v: [ans bits][offset bits] (the wrapped
+// page body order, ref: page_decompressor.rs batch loop). seclens is
+// [var][2][batch] bit lengths; each var's src cursor starts at bit 0.
+// Returns total bits written.
+extern "C" long long pco_interleave_sections(
+    const uint8_t** srcs,
+    const int64_t* seclens,
+    long long n_vars,
+    long long n_batches,
+    uint8_t* dst,
+    long long dst_start_bit) {
+  long long dbit = dst_start_bit;
+  std::vector<long long> sbit((size_t)n_vars, 0);
+  for (long long b = 0; b < n_batches; b++) {
+    for (long long v = 0; v < n_vars; v++) {
+      const int64_t* sl = seclens + v * 2 * n_batches;
+      long long abits = sl[b];
+      long long obits = sl[n_batches + b];
+      if (abits + obits == 0) continue;
+      copy_bits(dst, dbit, srcs[v], sbit[(size_t)v], abits + obits);
+      sbit[(size_t)v] += abits + obits;
+      dbit += abits + obits;
+    }
+  }
+  return dbit - dst_start_bit;
 }
 
 // The lookback proposal/scoring loop (ref: delta/lookback.rs:101-164).

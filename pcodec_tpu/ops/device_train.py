@@ -201,9 +201,10 @@ def _phase_float_keep(nums_dev, draw_idx, mid, exp_mask, max_bits):
 
 
 @partial(jax.jit, static_argnames=("max_order", "n_chunks", "rows_per_chunk",
-                                   "page_n", "lat_bits"))
+                                   "page_n", "lat_bits", "has_bases"))
 def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
-                      max_order, n_chunks, rows_per_chunk, page_n, lat_bits):
+                      max_order, n_chunks, rows_per_chunk, page_n, lat_bits,
+                      base_row=None, has_bases=False):
     """Per-page consecutive delta (vectorized, every order at once), then a
     per-chunk sort of the junk-masked deltas and the batched quantile
     extraction that drives the histogram walk on the host.
@@ -212,7 +213,12 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
     rowlen (rows,) i32: real numbers in each page row (0 for pad rows).
     nreal (n_chunks,) i32: histogram population per chunk.
     extract_idx (n_chunks, NB) i32: c_count(j)-1 positions per chunk.
+    base_row (rows,) u64 (has_bases only): IntMult base per page row; rows
+    with base > 1 are replaced by their PRIMARY latents (latent // base)
+    before delta (mode split precedes delta, ref: chunk_compressor.rs:477).
     """
+    if has_bases:
+        lat2d = lat2d // jnp.maximum(base_row, jnp.uint64(1))[:, None]
     out = lat2d
     moments_cols = []
     col = jax.lax.broadcasted_iota(jnp.int32, lat2d.shape, 1)
@@ -679,10 +685,10 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "include_lookback"))
+    "include_lookback", "has_bases"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
-                            include_lookback=True):
+                            include_lookback=True, bases=None, has_bases=False):
     """Histogram bins for auto-delta candidates, reduced on device.
 
     Candidates per chunk (row-major in the output): noop, consecutive 1..
@@ -699,6 +705,10 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     idx = jnp.clip(starts[:, None] + pos, 0, delta_s.shape[0] - 1)
     valid = pos < lens[:, None]
     sm = jnp.where(valid, delta_s[idx], jnp.uint64(0))
+    if has_bases:
+        # IntMult chunks decide delta on the PRIMARY latents (latent // base,
+        # ref: chunk_compressor.rs:408-418 via SplitLatents); base 1 = classic
+        sm = sm // jnp.maximum(bases, jnp.uint64(1))[:, None]
     mask = jnp.uint64((1 << lat_bits) - 1) if lat_bits < 64 else None
     mid = jnp.uint64(1) << jnp.uint64(lat_bits - 1)
     lens64 = lens.astype(jnp.int64)
@@ -754,6 +764,31 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
     co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
     return _pack_bins_dense(co, lo, up, nbn), nbn
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "rows_per_chunk", "page_n",
+                                   "nb_log"))
+def _phase_secondary(lat2d, row_sel, base_row, rowlen, n_stored,
+                     n_chunks, rows_per_chunk, page_n, nb_log):
+    """IntMult secondary latents (latent % base) for the selected chunk
+    rows: page rows for the EB kernels plus the unoptimized-histogram walk
+    bins (NOOP delta — all positions stored, no junk fronts).
+
+    row_sel (n_chunks*rows_per_chunk,) i32: page-row indices into lat2d.
+    base_row: base per selected row (>= 2). rowlen: real numbers per
+    selected row. n_stored (n_chunks,): chunk sizes (histogram population).
+    """
+    lat = lat2d[row_sel]
+    sec = lat % jnp.maximum(base_row, jnp.uint64(1))[:, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, sec.shape, 1)
+    live = col < rowlen[:, None]
+    sort_in = jnp.where(live, sec, U64_MAX).reshape(
+        n_chunks, rows_per_chunk * page_n
+    )
+    co, lo, up, nbn = _extracts_and_walk(
+        sort_in, n_stored.astype(jnp.int64), nb_log
+    )
+    return sec, _pack_bins_dense(co, lo, up, nbn), nbn
 
 
 @partial(jax.jit, static_argnames=("nb_log",))
@@ -988,17 +1023,22 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     for ci, cn in enumerate(chunk_ns):
         ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
 
-    # dispatch the IntMult screening AND all delta-candidate groups before
-    # any fetch: the device works through them while the host blocks on the
-    # (slow, tunnel-bound) result transfers
+    # dispatch the IntMult screening before any fetch; delta-candidate
+    # groups follow (for int data they wait for the screening result, since
+    # IntMult chunks decide delta on PRIMARY latents = latent // base)
     gcd_handle = (
         _int_bases_dispatch(mode_s_dev, mode_spans, chunk_ns) if is_int_auto else None
     )
-    cand_handles = []
+    if gcd_handle is not None:
+        _prefetch(*gcd_handle[0])
     mo = c.MAX_CONSECUTIVE_DELTA_ORDER
     n_cand = mo + 1  # noop + orders; the lookback candidate is host-evaluated
-    if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
-        dec_groups: Dict[tuple, list] = {}
+
+    def _dispatch_cands(bases_arr):
+        handles = []
+        if config.delta_spec.kind != cmp.DeltaSpec.AUTO:
+            return handles
+        dec_groups: Dict[int, list] = {}
         for ci, cn in enumerate(chunk_ns):
             dn = delta_spans[ci][1]
             if dn < 2:
@@ -1008,29 +1048,43 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
             lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
             m_max = int(lens_g.max())
+            kw = {}
+            if bases_arr is not None and any(bases_arr[ci] > 1 for ci in cis):
+                kw = dict(
+                    bases=jnp.asarray(
+                        np.array([bases_arr[ci] for ci in cis], np.uint64)
+                    ),
+                    has_bases=True,
+                )
             devs = _phase_delta_candidates(
                 delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
                 n_chunks=len(cis), m_max=m_max, max_order=mo,
                 nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
-                include_lookback=False,
+                include_lookback=False, **kw,
             )
-            cand_handles.append((ubl_g, cis, lens_g, devs))
+            handles.append((ubl_g, cis, lens_g, devs))
+        for _g in handles:
+            _prefetch(*_g[3])
+        return handles
 
-    if gcd_handle is not None:
-        _prefetch(*gcd_handle[0])
-    for _g in cand_handles:
-        _prefetch(*_g[3])
+    int_bases: Dict[int, int] = {}
+    bases_arr = None
+    if is_int_auto:
+        int_bases = _int_bases_collect(gcd_handle, mode_s_dev, chunk_ns, lt)
+        _t0 = _trace("gcd collect", _t0)
+        if int_bases:
+            bases_arr = np.ones(n_chunks, dtype=np.uint64)
+            for ci_b, b in int_bases.items():
+                bases_arr[ci_b] = b
+    cand_handles = _dispatch_cands(bases_arr)
     _prefetch(delta_s_dev)
-    _t0 = _trace("gcd+cand dispatch", _t0)
+    _t0 = _trace("cand dispatch", _t0)
     mode_samples = (
         np.asarray(mode_s_dev).astype(lt.np_dtype) if is_float_auto else None
     )
-    int_bases: Dict[int, int] = _int_bases_collect(
-        gcd_handle, mode_s_dev, chunk_ns, lt
-    )
 
-    _t0 = _trace("gcd collect", _t0)
-    # ---- mode routing (host pipeline for IntMult/Float-mode winners) ----
+    # ---- mode routing (host pipeline for Float-mode winners; IntMult
+    # winners stay on device: primary/secondary split + two-var encode) ----
     mode_is_host = np.zeros(n_chunks, dtype=bool)
     for ci, cn in enumerate(chunk_ns):
         if is_float_auto:
@@ -1047,8 +1101,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     or float_quant.compute_bid(nt, ab) is not None
                 ):
                     mode_is_host[ci] = True
-        elif is_int_auto and ci in int_bases:
-            mode_is_host[ci] = True
 
     # ---- speculative auto-delta decision (no-lookback chain) ----
     # The true decision is provably either this chain\'s choice or lookback
@@ -1062,9 +1114,11 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         for ci, cn in enumerate(chunk_ns):
             if not mode_is_host[ci] and delta_spans[ci][1] < 2:
                 a, m = delta_spans[ci]
-                sample = np.asarray(delta_s_dev[a : a + m]).astype(lt.np_dtype)
+                sample = np.asarray(delta_s_dev[a : a + m])
+                if ci in int_bases:
+                    sample = sample // np.uint64(int_bases[ci])
                 delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
-                    sample, cn, int(ubls[ci]), lt
+                    sample.astype(lt.np_dtype), cn, int(ubls[ci]), lt
                 )
         for ubl_g, cis, lens_g, (dense_d, nbn_d) in cand_handles:
             if all(mode_is_host[ci] for ci in cis):
@@ -1120,6 +1174,12 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         cc_pos = ((j + 1) * nr + nb - 1) >> int(ubls[ci])
         extract_idx[ci, :nb] = np.minimum(cc_pos - 1, max(nr - 1, 0))
     _t0 = _trace("enc resolution", _t0)
+    base_kw = {}
+    if int_bases:
+        base_row = np.ones(total_rows, dtype=np.uint64)
+        for ci_b, b in int_bases.items():
+            base_row[ci_b * rows_per_chunk : (ci_b + 1) * rows_per_chunk] = b
+        base_kw = dict(base_row=jnp.asarray(base_row), has_bases=True)
     dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
         lat2d,
         jnp.asarray(order_row),
@@ -1131,8 +1191,47 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         rows_per_chunk=rows_per_chunk,
         page_n=page_n,
         lat_bits=nt.latent.bits,
+        **base_kw,
     )
     _t0 = _trace("phaseB dispatch", _t0)
+
+    # ---- secondary-var phase for device IntMult chunks ----
+    sec_handles = []  # (cis, local row base, rows dev, dense, nbn)
+    sec_row_of: Dict[int, int] = {}
+    sec_rows_dev = None
+    im_live = [ci for ci in range(n_chunks) if ci in int_bases and encs[ci] is not None]
+    if im_live:
+        by_ubl_sec: Dict[int, list] = {}
+        for ci in im_live:
+            ubl_sec = min(int(ubls[ci]), c.LIMITED_UNOPTIMIZED_BINS_LOG)
+            by_ubl_sec.setdefault(ubl_sec, []).append(ci)
+        sec_parts = []
+        row_base = 0
+        for ubl_sec, cis in by_ubl_sec.items():
+            rows_idx = np.concatenate([
+                np.arange(ci * rows_per_chunk, (ci + 1) * rows_per_chunk)
+                for ci in cis
+            ]).astype(np.int32)
+            base_sel = np.repeat(
+                np.array([int_bases[ci] for ci in cis], np.uint64), rows_per_chunk
+            )
+            ns = np.array([chunk_ns[ci] for ci in cis], np.int64)
+            rows_d, dense_d, nbn_d = _phase_secondary(
+                lat2d, jnp.asarray(rows_idx), jnp.asarray(base_sel),
+                jnp.asarray(rowlen[rows_idx]), jnp.asarray(ns),
+                n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
+                page_n=page_n, nb_log=ubl_sec,
+            )
+            _prefetch(dense_d, nbn_d)
+            sec_parts.append(rows_d)
+            sec_handles.append((cis, dense_d, nbn_d))
+            for k, ci in enumerate(cis):
+                sec_row_of[ci] = row_base + k * rows_per_chunk
+            row_base += len(cis) * rows_per_chunk
+        sec_rows_dev = (
+            jnp.concatenate(sec_parts, axis=0) if len(sec_parts) > 1 else sec_parts[0]
+        )
+    _t0 = _trace("secondary dispatch", _t0)
 
     # ---- phase C dispatch: the quantile walk on device (fetch deferred) ----
     hist_handles = []
@@ -1164,7 +1263,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         delta_samples = np.asarray(delta_s_dev)
         for ci in lb_pending:
             a, dn = delta_spans[ci]
-            sample = delta_samples[a : a + dn].astype(lt.np_dtype)
+            sample = delta_samples[a : a + dn]
+            if ci in int_bases:
+                sample = sample // np.uint64(int_bases[ci])
+            sample = sample.astype(lt.np_dtype)
             penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
             lb_cost = cmp._compressed_sample_size(
                 sample, int(ubls[ci]), cmp.new_lookback(dn), lt
@@ -1183,6 +1285,11 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         per_row = _fetch_packed_bins(dense_d, nbn_d)
         for k, ci in enumerate(lanes):
             hist_bins[ci] = per_row[k]
+    sec_bins: Dict[int, tuple] = {}
+    for cis, dense_d, nbn_d in sec_handles:
+        per_row = _fetch_packed_bins(dense_d, nbn_d)
+        for k, ci in enumerate(cis):
+            sec_bins[ci] = per_row[k]
 
     _t0 = _trace("walk+bins fetch", _t0)
     # ---- host: bins, metadata, jobs ----
@@ -1216,16 +1323,35 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         order = int(orders[ci])
         nr = int(nreal[ci])
         nb_log = int(ubls[ci])
+        is_im = ci in int_bases
         trained = _train_from_histogram(hist_bins[ci], nr, nb_log, lt)
         bins = cmp.bins_from_infos(trained.infos, lt)
         lvc = cmp.LatentVarCompressor(trained, bins, None)
         var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
-        meta = cmp.ChunkMeta(Mode(Mode.CLASSIC), encs[ci], var_metas, nt.latent)
-        page_infos = _device_page_infos(
-            pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt
-        )
-        cand = cmp.ChunkCompressor(meta, PerLatentVar(None, lvc, None), page_infos)
+        lvcs_pv = PerLatentVar(None, lvc, None)
         counts = PerLatentVar(None, trained.counts, None)
+        mode = Mode(Mode.CLASSIC)
+        if is_im:
+            # IntMult: secondary var (latent % base) trained from its own
+            # device walk; NOOP delta (auto never sets secondary_uses_delta)
+            ubl_sec = min(nb_log, c.LIMITED_UNOPTIMIZED_BINS_LOG)
+            trained_s = _train_from_histogram(sec_bins[ci], cn, ubl_sec, lt)
+            bins_s = cmp.bins_from_infos(trained_s.infos, lt)
+            lvc_s = cmp.LatentVarCompressor(trained_s, bins_s, None)
+            var_metas = PerLatentVar(
+                None,
+                cmp.ChunkLatentVarMeta(trained.ans_size_log, bins),
+                cmp.ChunkLatentVarMeta(trained_s.ans_size_log, bins_s),
+            )
+            lvcs_pv = PerLatentVar(None, lvc, lvc_s)
+            counts = PerLatentVar(None, trained.counts, trained_s.counts)
+            mode = Mode(Mode.INT_MULT, int_bases[ci])
+        meta = cmp.ChunkMeta(mode, encs[ci], var_metas, nt.latent)
+        page_infos = _device_page_infos(
+            pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt,
+            has_secondary=is_im,
+        )
+        cand = cmp.ChunkCompressor(meta, lvcs_pv, page_infos)
         if cand.should_fallback(nt.latent, cn, counts):
             ccs[ci] = cmp.fallback_chunk_compressor(
                 nt, _nums_np(start, start + cn), pages_per_chunk[ci]
@@ -1236,17 +1362,43 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         ccs[ci] = cand
         start += cn
 
-        if lvc.is_trivial:
+        var_list = [("primary", lvc, bins, order, ci * rows_per_chunk, dev_rows)]
+        if is_im:
+            var_list.append(
+                ("secondary", lvc_s, bins_s, 0, sec_row_of[ci], sec_rows_dev)
+            )
+        # trivial vars (single zero-offset bin) write no body bits: skip
+        # their kernel job; the assembler emits empty sections for them
+        nontrivial = [v for v in var_list if not v[1].is_trivial]
+        if not nontrivial:
             chunk_jobs[ci] = ("host", None)
             continue
-        nexts, lowers, t1, t2, ts = build_enc_tables(meta.per_latent_var.primary)
-        b = len(lowers)
-        max_ob = int(lvc.max_offset_bits)
-        worst_bits = (
-            float(np.max(bins.worst_case_bits_per_latent(lvc.ans_size_log))) if b else 0.0
-        )
-        sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
-        if not (ts <= 4096 and b <= 2048 and sec_words <= 2048):
+        jobs_out = []
+        ok = True
+        for var, v_lvc, v_bins, v_order, row_start, src in nontrivial:
+            nexts, lowers, t1, t2, ts = build_enc_tables(
+                meta.per_latent_var.get(var)
+            )
+            b = len(lowers)
+            max_ob = int(v_lvc.max_offset_bits)
+            worst_bits = (
+                float(np.max(v_bins.worst_case_bits_per_latent(v_lvc.ans_size_log)))
+                if b else 0.0
+            )
+            sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
+            if not (ts <= 4096 and b <= 2048 and sec_words <= 2048):
+                ok = False
+                break
+            ob_class = 0 if max_ob == 0 else (32 if max_ob <= 32 else 64)
+            key = (page_n, ob_class, max(sec_words, 128))
+            jobs_out.append((key, {
+                "ci": ci, "cc": ccs[ci], "tables": (nexts, lowers, t1, t2, ts),
+                "b": b, "max_ob": max_ob, "var": var,
+                "rkey": (ci, var) if is_im else ci,
+                "dev": {"row_start": row_start, "order": v_order,
+                        "n_pages": len(pages_per_chunk[ci]), "src": src},
+            }))
+        if not ok:
             # kernel limits: re-train on host (rare, pathological tables)
             chunk_config = ChunkConfig(
                 compression_level=level,
@@ -1258,16 +1410,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start - cn, start), chunk_config)
             chunk_jobs[ci] = ("host", None)
             continue
-        ob_class = 0 if max_ob == 0 else (32 if max_ob <= 32 else 64)
-        key = (page_n, ob_class, max(sec_words, 128))
-        job = {
-            "ci": ci, "cc": ccs[ci], "tables": (nexts, lowers, t1, t2, ts),
-            "b": b, "max_ob": max_ob,
-            "dev": {"row_start": ci * rows_per_chunk, "order": order,
-                    "n_pages": len(pages_per_chunk[ci])},
-        }
-        groups.setdefault(key, []).append(job)
-        chunk_jobs[ci] = ("device", job)
+        for key, job in jobs_out:
+            groups.setdefault(key, []).append(job)
+        chunk_jobs[ci] = ("device", [j for _, j in jobs_out])
 
     _t0 = _trace("host train+jobs", _t0)
     return nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows
@@ -1286,16 +1431,17 @@ class _DevicePageInfos:
     Delta states are raw latents in page metadata — latent width matters
     (metadata/page_latent_var.rs:18-50)."""
 
-    def __init__(self, per_page: List[int], order: int, chunk_moments: np.ndarray, nt):
+    def __init__(self, per_page: List[int], order: int, chunk_moments: np.ndarray, nt,
+                 has_secondary: bool = False):
         self.per_page = per_page
         self.order = order
+        self.has_secondary = has_secondary
         ldt = nt.latent.np_dtype
+        self.empty = np.zeros(0, dtype=ldt)
         if order:
             self.states = np.ascontiguousarray(
                 chunk_moments[: len(per_page), :order]
             ).astype(ldt)
-        else:
-            self.empty = np.zeros(0, dtype=ldt)
         self.starts = np.concatenate([[0], np.cumsum(per_page)])
 
     def __len__(self):
@@ -1311,12 +1457,16 @@ class _DevicePageInfos:
             piv = cmp.PageInfoVar(self.states[pi], min(start + self.order, end), end)
         else:
             piv = cmp.PageInfoVar(self.empty, start, end)
-        return cmp.PageInfo(pn, PerLatentVar(None, piv, None))
+        sec = (
+            cmp.PageInfoVar(self.empty, start, end) if self.has_secondary else None
+        )
+        return cmp.PageInfo(pn, PerLatentVar(None, piv, sec))
 
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
 
 
-def _device_page_infos(per_page: List[int], order: int, chunk_moments: np.ndarray, nt):
-    return _DevicePageInfos(per_page, order, chunk_moments, nt)
+def _device_page_infos(per_page: List[int], order: int, chunk_moments: np.ndarray, nt,
+                       has_secondary: bool = False):
+    return _DevicePageInfos(per_page, order, chunk_moments, nt, has_secondary)

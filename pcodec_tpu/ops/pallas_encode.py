@@ -629,26 +629,29 @@ def _build_and_run_launches(groups, jit_cache=None, dev_rows=None):
             tables[tid, 3, :, :b_pad] = t1p[None, :]
             tables[tid, 4, :, :b_pad] = t2p[None, :]
             cc = j["cc"]
-            lvc = cc.lvcs.primary
+            var = j.get("var", "primary")
+            lvc = cc.lvcs.get(var)
             n_pages = len(cc.page_infos)
             n_pad = (-n_pages) % TILE_CHAINS
             bn = np.zeros(n_pages + n_pad, dtype=np.int64)
             if "dev" in j:
                 d = j["dev"]
                 o = d["order"]
-                rows_dev = dev_rows[d["row_start"] : d["row_start"] + n_pages + n_pad]
+                src = d.get("src")
+                src = dev_rows if src is None else src
+                rows_dev = src[d["row_start"] : d["row_start"] + n_pages + n_pad]
                 body2d = rows_dev[:, o:]
                 lat_rows.append(
                     jnp.pad(body2d, ((0, 0), (0, o))) if o else body2d
                 )
                 for pi, info in enumerate(cc.page_infos):
-                    piv = info.per_latent_var.primary
+                    piv = info.per_latent_var.get(var)
                     bn[pi] = piv.end - piv.start
             else:
                 lat64 = lvc.latents.astype(np.uint64)
                 rows = np.zeros((n_pages + n_pad, pg), dtype=np.uint64)
                 for pi, info in enumerate(cc.page_infos):
-                    piv = info.per_latent_var.primary
+                    piv = info.per_latent_var.get(var)
                     body = lat64[piv.start : piv.end]
                     rows[pi, : len(body)] = body
                     bn[pi] = len(body)
@@ -696,7 +699,7 @@ def _build_and_run_launches(groups, jit_cache=None, dev_rows=None):
             secs = sec_np[t_i, g_i, s_i]  # (npg, SEC)
             states4 = np.stack(
                 [fst_np[t_i, s_i, 4 * g_i + k] for k in range(4)], axis=1)
-            results[j["ci"]] = {
+            results[j.get("rkey", j["ci"])] = {
                 "sections": secs,
                 "states": states4 - ts,
                 "ans_len": ans_np[cs : cs + npg],
@@ -830,24 +833,72 @@ def encode_container_device(nums, config=None, page_n: int = 1024,
                     ans_secs.append(a)
                     off_secs.append(o)
             continue
-        res = results[ci]
-        lvc = cc.lvcs.primary
+        jlist = job if isinstance(job, list) else [job]
+        res_by_var = {j.get("var", "primary"): results[j.get("rkey", ci)]
+                      for j in jlist}
+        var_keys = [k for k, _ in cc.lvcs.enumerated()]
+        if var_keys == ["primary"]:
+            res = res_by_var["primary"]
+            lvc = cc.lvcs.primary
+            for pi, info in enumerate(cc.page_infos):
+                p0 = body.byte_len()
+                piv = info.per_latent_var.primary
+                pm = PageMeta(PerLatentVar(
+                    None,
+                    PageLatentVarMeta(piv.delta_state, tuple(int(x) for x in res["states"][pi])),
+                    None,
+                ))
+                pm.write_to(PerLatentVar(None, lvc.ans_size_log, None), body)
+                nbytes = (int(res["total_bits"][pi]) + 7) // 8
+                sec_bytes = res["sections"][pi].view(np.uint8)[:nbytes]
+                body.write_aligned_bytes(sec_bytes.tobytes())
+                page_bytes.append(body.byte_len() - p0)
+                n_batches = -(-info.page_n // BATCH)
+                ans_secs.append(res["ans_len"][pi, :n_batches].astype(np.int64))
+                off_secs.append(res["off_len"][pi, :n_batches].astype(np.int64))
+            continue
+        # multi-latent-var (IntMult): per batch, per var, [ans][off] — the
+        # per-var kernel streams are bit-interleaved by the native routine
+        # (ref page body order: the write_page loop, codec/compress.py:403-421).
+        # Vars without a kernel job are trivial: zero body bits, zero-filled
+        # directory sections, 0-bit ANS state idxs.
+        from pcodec_tpu.native.kernels import interleave_sections
+
+        asl_pv = PerLatentVar()
+        for key in var_keys:
+            asl_pv.set(key, cc.lvcs.get(key).ans_size_log)
+        empty_u8 = np.zeros(8, np.uint8)
         for pi, info in enumerate(cc.page_infos):
             p0 = body.byte_len()
-            piv = info.per_latent_var.primary
-            pm = PageMeta(PerLatentVar(
-                None,
-                PageLatentVarMeta(piv.delta_state, tuple(int(x) for x in res["states"][pi])),
-                None,
-            ))
-            pm.write_to(PerLatentVar(None, lvc.ans_size_log, None), body)
-            nbytes = (int(res["total_bits"][pi]) + 7) // 8
-            sec_bytes = res["sections"][pi].view(np.uint8)[:nbytes]
-            body.write_aligned_bytes(sec_bytes.tobytes())
-            page_bytes.append(body.byte_len() - p0)
             n_batches = -(-info.page_n // BATCH)
-            ans_secs.append(res["ans_len"][pi, :n_batches].astype(np.int64))
-            off_secs.append(res["off_len"][pi, :n_batches].astype(np.int64))
+            pv = PerLatentVar()
+            srcs, lens_rows = [], []
+            tb = 0
+            for key in var_keys:
+                piv = info.per_latent_var.get(key)
+                res = res_by_var.get(key)
+                if res is None:
+                    pv.set(key, PageLatentVarMeta(piv.delta_state, (0, 0, 0, 0)))
+                    srcs.append(empty_u8)
+                    zl = np.zeros(n_batches, np.int64)
+                    lens_rows.append(np.stack([zl, zl]))
+                    ans_secs.append(zl)
+                    off_secs.append(zl)
+                    continue
+                pv.set(key, PageLatentVarMeta(
+                    piv.delta_state, tuple(int(x) for x in res["states"][pi])))
+                srcs.append(res["sections"][pi].view(np.uint8))
+                al = res["ans_len"][pi, :n_batches].astype(np.int64)
+                ol = res["off_len"][pi, :n_batches].astype(np.int64)
+                lens_rows.append(np.stack([al, ol]))
+                ans_secs.append(al)
+                off_secs.append(ol)
+                tb += int(res["total_bits"][pi])
+            PageMeta(pv).write_to(asl_pv, body)
+            dst = np.zeros((tb + 7) // 8 + 8, np.uint8)
+            nbits = interleave_sections(srcs, np.stack(lens_rows), dst, 0)
+            body.write_aligned_bytes(dst[: (nbits + 7) // 8].tobytes())
+            page_bytes.append(body.byte_len() - p0)
 
     body_bytes = body.to_bytes()
     dir_parts = [

@@ -124,6 +124,42 @@ class TestDeviceTrainPlan:
         assert plan_encode_device(
             np.arange(131072 + 3, dtype=np.int64), None, 256, 131072) is None
 
+    def test_intmult_device_meta_matches_host(self):
+        """IntMult winners stay on device (two-var split); the planned
+        chunk metadata (mode payload, both vars' bins, delta) must be
+        byte-identical to the host pipeline's (chunk_compressor.rs:477-534).
+        Pure-XLA phases, no Pallas kernels — fast on CPU."""
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(23)
+        cases = [
+            # timestamps: multiples of 1e9 with adjustments; primary delta 1
+            np.cumsum(rng.integers(1, 2000, 262144)).astype(np.int64)
+            * 1_000_000_000 + rng.integers(0, 3, 262144),
+            # exact multiples: trivial secondary rides along
+            (rng.integers(0, 10**6, 262144) * 60000).astype(np.int64),
+        ]
+        for x in cases:
+            planned = plan_encode_device(x, None, 256, 131072)
+            assert planned is not None
+            nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+            start = 0
+            for ci, cn in enumerate(chunk_ns):
+                cfg = ChunkConfig(
+                    paging_spec=PagingSpec.exact_pages([256] * (cn // 256)))
+                host_cc = cmp.chunk_compressor(nt, x[start : start + cn], cfg)
+                start += cn
+                assert host_cc.meta.mode.kind == "int_mult"
+                kind, _ = chunk_jobs[ci]
+                assert kind == "device"
+                wd, wh = BitWriter(), BitWriter()
+                ccs[ci].write_meta(wd)
+                host_cc.write_meta(wh)
+                assert wd.to_bytes() == wh.to_bytes(), ci
+
 
 @needs_tpu
 class TestDeviceTrain:
@@ -153,8 +189,14 @@ class TestDeviceTrain:
         x = np.cumsum(np.cumsum(RNG.integers(0, 5, 200_000))).astype(np.uint64)
         self._dt(x)
 
-    def test_intmult_falls_back_to_host(self):
-        # IntMult chunks route through the host pipeline inside the plan
+    def test_intmult_device_two_var(self):
+        # IntMult chunks encode on device: primary (latent // base) +
+        # secondary (latent % base) kernel streams, bit-interleaved
+        self._dt((RNG.integers(0, 10000, 200_000) * 8
+                  + RNG.integers(0, 3, 200_000)).astype(np.int64))
+
+    def test_intmult_trivial_secondary(self):
+        # exact multiples: the secondary var is trivial (no body bits)
         self._dt((RNG.integers(0, 10000, 200_000) * 8).astype(np.int64))
 
     def test_trivial_constant(self):
