@@ -630,23 +630,64 @@ def choose_auto_delta_from_cand_bins(cand_bins, sample_n: int, n: int, ubl: int,
     return best
 
 
-def orders_chain_from_cand_bins(cand_bins, ubl: int, lt: LatentType):
-    """The no-lookback part of the auto-delta chain from device bins.
-    Returns chain_costs = [noop_cost, order1_cost, ...] up to and including
-    the first non-improving order (the reference's break point). The true
-    decision with the lookback candidate inserted breaks no later, so these
-    costs are sufficient for finalize_delta_choice."""
-    costs = [sample_cost_from_unopt(
-        DeltaEncoding.noop(), {"primary": cand_bins[0]}, ubl, lt)]
-    best_cost = costs[0]
-    for order in range(1, c.MAX_CONSECUTIVE_DELTA_ORDER + 1):
-        cost = sample_cost_from_unopt(
-            DeltaEncoding.consecutive(order), {"primary": cand_bins[order]}, ubl, lt)
+def lookback_cost_from_sample(sample: np.ndarray, ubl: int,
+                              enc: DeltaEncoding, lt: LatentType) -> float:
+    """_compressed_sample_size(sample, ubl, lookback enc, lt) without the
+    candidate-object construction: native chooser + encode, array-based
+    histograms, and the array cost path (identical float math). This runs
+    per chunk in the encode hot path, mostly inside GIL-releasing native
+    calls, so a thread pool scales it."""
+    from pcodec_tpu.delta.encode import choose_lookbacks, lookback_encode
+
+    n = len(sample)
+    lookbacks = choose_lookbacks(enc, sample)
+    deltas, _state = lookback_encode(enc, lookbacks, sample.copy())
+    n_stored = max(n - enc.state_n, 0)
+    try:
+        from pcodec_tpu.native.kernels import histogram_sorted
+    except Exception:
+        histogram_sorted = None
+    if histogram_sorted is not None:
+        hp = histogram_sorted(np.sort(deltas[enc.state_n :].astype(np.uint64)), ubl)
+        hd = histogram_sorted(np.sort(lookbacks.astype(np.uint64)), ubl)
+        per_var = {
+            "delta": ((hd[0], hd[1], hd[2]), len(lookbacks)),
+            "primary": ((hp[0], hp[1], hp[2]), n_stored),
+        }
+    else:  # pure-python fallback keeps identical results
+        from pcodec_tpu.binning.histogram import histogram
+
+        per_var = {
+            "delta": (histogram(lookbacks.astype(np.uint64), ubl), len(lookbacks)),
+            "primary": (histogram(deltas[enc.state_n :].astype(np.uint64), ubl), n_stored),
+        }
+    return sample_cost_from_unopt(enc, per_var, ubl, lt)
+
+
+def extend_orders_chain(costs, cand_bins, ubl: int, lt: LatentType):
+    """Extend the no-lookback auto-delta chain with more candidate bins.
+    costs holds the evaluated chain so far ([] to start); cand_bins[k] is the
+    (bins, n_stored) for order len(costs) + k. Returns (costs, broke): broke
+    is True once the chain hit a non-improving order (the reference's break
+    point, chunk_compressor.rs:374-391) or ran out of orders."""
+    for bins in cand_bins:
+        order = len(costs)
+        enc = DeltaEncoding.noop() if order == 0 else DeltaEncoding.consecutive(order)
+        cost = sample_cost_from_unopt(enc, {"primary": bins}, ubl, lt)
         costs.append(cost)
-        if cost < best_cost:
-            best_cost = cost
-        else:
-            break
+        if order > 0 and cost >= min(costs[:-1]):
+            return costs, True
+        if order == c.MAX_CONSECUTIVE_DELTA_ORDER:
+            return costs, True
+    return costs, len(costs) > c.MAX_CONSECUTIVE_DELTA_ORDER
+
+
+def orders_chain_from_cand_bins(cand_bins, ubl: int, lt: LatentType):
+    """The full no-lookback chain from device bins: [noop_cost, order1_cost,
+    ...] up to and including the first non-improving order. The true decision
+    with the lookback candidate inserted breaks no later, so these costs are
+    sufficient for finalize_delta_choice."""
+    costs, _ = extend_orders_chain([], cand_bins, ubl, lt)
     return costs
 
 

@@ -64,6 +64,13 @@ def _trace(label, t0):
 # plan_encode_device: the indices are deterministic given the layout)
 _IDX_UPLOAD_CACHE: Dict[tuple, tuple] = {}
 
+# last plan's decisions per (layout, dtype, config) — SPECULATION HINTS
+# only: phase B/C are dispatched from them right after stage 1 so their
+# compute overlaps the decision round trip; results are used only when the
+# real decisions match exactly, else phase 2 re-dispatches (correctness
+# never depends on the hint)
+_SPEC_HINTS: Dict[tuple, dict] = {}
+
 
 def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: int) -> bool:
     """Chunks the device-train path covers; everything else falls back to the
@@ -268,27 +275,11 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
 _GCD_K = 256  # unique-GCD slots per chunk fetched from device
 
 
-def _int_bases_dispatch(mode_s_dev, mode_spans, chunk_ns):
-    """Dispatch the triple-GCD screening (no fetch) so the device can work
-    on it while the host dispatches later phases. Returns a handle for
-    _int_bases_collect, or None when there are no triples."""
-    n_chunks = len(chunk_ns)
-    starts = np.array([a for a, _ in mode_spans], dtype=np.int32)
-    lens = np.array([m for _, m in mode_spans], dtype=np.int32)
-    m_max = int(lens.max()) if n_chunks else 0
-    if m_max < 3:
-        return None
-    devs = _phase_int_gcd(
-        mode_s_dev, jnp.asarray(starts), jnp.asarray(lens),
-        n_chunks=n_chunks, m_max=m_max, k=_GCD_K,
-    )
-    return devs, starts, lens, m_max
-
-
 def _int_bases_collect(handle, mode_s_dev, chunk_ns, lt) -> Dict[int, int]:
-    """Fetch + score the dispatched GCD screening (see _int_bases_dispatch).
-    Matches int_mult.choose_base_from_sample exactly; chunks whose unique
-    GCD count overflows the fetch window fall back to a sample fetch."""
+    """Score the device GCD screening (arrays from the stage-1 packed
+    fetch). Matches int_mult.choose_base_from_sample exactly; chunks whose
+    unique GCD count overflows the fetch window fall back to a sample
+    fetch. handle = ((vals, cnts, nuniq), starts, lens, m_max)."""
     if handle is None:
         return {}
     (vals_d, cnts_d, nuniq_d), starts, lens, m_max = handle
@@ -685,10 +676,11 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "include_lookback", "has_bases"))
+    "include_lookback", "has_bases", "min_order"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
-                            include_lookback=True, bases=None, has_bases=False):
+                            include_lookback=True, bases=None, has_bases=False,
+                            min_order=0):
     """Histogram bins for auto-delta candidates, reduced on device.
 
     Candidates per chunk (row-major in the output): noop, consecutive 1..
@@ -719,9 +711,10 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
 
     rows = []
     n_stored_rows = []
-    # noop: raw sample values
-    rows.append(jnp.where(valid, sm, U64_MAX))
-    n_stored_rows.append(lens64)
+    if min_order == 0:
+        # noop: raw sample values
+        rows.append(jnp.where(valid, sm, U64_MAX))
+        n_stored_rows.append(lens64)
     # consecutive orders (iterative wrapping diffs, junk fronts excluded)
     out = sm
     col = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 1)
@@ -731,12 +724,14 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
             diff = diff & mask
         out = jnp.where(col > o, diff, out)
         k = o + 1
+        if k < min_order:
+            continue  # the diff cascade still runs; only sorts are skipped
         vals = toggle(out)
         rows.append(jnp.where((col >= k) & valid, vals, U64_MAX))
         n_stored_rows.append(jnp.maximum(lens64 - k, 0))
     # lookback: chooser + primary deltas + the lookback latent var
     if not include_lookback:
-        n_cand = len(rows)  # max_order + 1
+        n_cand = len(rows)
         sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
         n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
         co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
@@ -794,13 +789,169 @@ def _phase_secondary(lat2d, row_sel, base_row, rowlen, n_stored,
 @partial(jax.jit, static_argnames=("nb_log",))
 def _phase_walk(V, L, R, SL1, SR, S0, nreal, sel, nb_log):
     """Walk selected chunk lanes at one nb_log; extracts stay device-side.
-    Returns compact (counts u32, lowers u64, uppers u64, n_bins i32)."""
+    Returns one packed u64 buffer [n_bins (lanes) | dense bins (cap, 3)] so
+    the host collects it in a single fetch."""
     nbg = 1 << nb_log
     co, lo, up, nbn = _walk_bins_device(
         V[sel, :nbg], L[sel, :nbg], R[sel, :nbg], SL1[sel, :nbg],
         SR[sel, :nbg], S0[sel], nreal[sel], nb_log,
     )
-    return _pack_bins_dense(co.astype(jnp.uint32), lo, up, nbn), nbn
+    dense = _pack_bins_dense(co.astype(jnp.uint32), lo, up, nbn)
+    return jnp.concatenate([nbn.astype(jnp.uint64), dense.reshape(-1)])
+
+
+STAGE1_ORDERS = 2  # candidate orders evaluated in the fused first dispatch
+
+
+@partial(jax.jit, static_argnames=(
+    "kind", "mid", "total_rows", "page_n", "int_auto", "gcd_m_max",
+    "cand_meta", "lat_bits", "fetch_mode_s"))
+def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
+                  cand_starts, cand_lens, kind, mid, total_rows, page_n,
+                  int_auto, gcd_m_max, cand_meta, lat_bits,
+                  fetch_mode_s=False):
+    """One fused dispatch for everything the first host round trip needs:
+    bijection + sample gathers, IntMult GCD screening, and the stage-1
+    auto-delta candidate histograms (orders 0..STAGE1_ORDERS — the chain
+    breaks there for almost all chunks; later orders run in a rare second
+    dispatch). Returns (lat2d kept on device, mode_s kept on device,
+    packed u64 fetch buffer).
+
+    The packed buffer layout (all u64): [gcd vals | gcd cnts | gcd nuniq]
+    (int_auto only) + per cand group [nbn | dense bins] + [delta_s]
+    (+ [mode_s] when fetch_mode_s — float auto bids read it on the host).
+    cand_meta: static tuple of (n_chunks, m_max, nb_log) per group."""
+    lat2d, mode_s, delta_s = _phase_latents(
+        nums_dev, mode_idx, delta_idx, kind=kind, mid=mid,
+        total_rows=total_rows, page_n=page_n,
+    )
+    parts = []
+    if int_auto:
+        vals, cnts, nuniq = _phase_int_gcd(
+            mode_s, gcd_starts, gcd_lens,
+            n_chunks=gcd_starts.shape[0], m_max=gcd_m_max, k=_GCD_K,
+        )
+        parts += [vals.reshape(-1), cnts.astype(jnp.uint64).reshape(-1),
+                  nuniq.astype(jnp.uint64)]
+    pos = 0
+    for (g_n, g_m, g_nb) in cand_meta:
+        dense, nbn = _phase_delta_candidates(
+            delta_s, cand_starts[pos : pos + g_n], cand_lens[pos : pos + g_n],
+            n_chunks=g_n, m_max=g_m, max_order=STAGE1_ORDERS,
+            nb_log=g_nb, lat_bits=lat_bits, window_n_log=4,
+            include_lookback=False,
+        )
+        parts += [nbn.astype(jnp.uint64), dense.reshape(-1)]
+        pos += g_n
+    if fetch_mode_s:
+        parts.append(mode_s)
+    small = (
+        jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint64)
+    )
+    # delta_s is ~n/50 latents (the big transfer) and is only consumed by
+    # the host lookback evaluator — returned separately so its fetch can
+    # run in a worker thread while the host makes the chain decisions
+    return lat2d, mode_s, delta_s, small
+
+
+def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map):
+    """Dispatch phase B (delta + sort + extracts) + the IntMult secondary
+    phase + the phase-C walk from a (orders, live set, bases) decision
+    vector. Called twice per plan at most: speculatively from the previous
+    plan's decisions (_SPEC_HINTS — its compute overlaps the decision round
+    trip) and for real when the speculation missed; results are only ever
+    consumed when the real decisions match the vector used here."""
+    (ubls, chunk_ns, pages_per_chunk, rows_per_chunk, total_rows, page_n,
+     n_chunks, lat2d, rowlen, lat_bits) = ctx
+    NB = 1 << int(ubls.max()) if n_chunks else 1
+    order_row = np.repeat(orders_a, rows_per_chunk).astype(np.int32)
+    nreal = np.zeros(n_chunks, dtype=np.int64)
+    extract_idx = np.zeros((n_chunks, NB), dtype=np.int64)
+    for ci2, cn2 in enumerate(chunk_ns):
+        if not live_a[ci2]:
+            continue
+        nr = cn2 - int(orders_a[ci2]) * len(pages_per_chunk[ci2])
+        nreal[ci2] = nr
+        nb = 1 << int(ubls[ci2])
+        j = np.arange(nb, dtype=np.int64)
+        cc_pos = ((j + 1) * nr + nb - 1) >> int(ubls[ci2])
+        extract_idx[ci2, :nb] = np.minimum(cc_pos - 1, max(nr - 1, 0))
+    base_kw = {}
+    if bases_map:
+        base_row = np.ones(total_rows, dtype=np.uint64)
+        for ci_b, b in bases_map.items():
+            base_row[ci_b * rows_per_chunk : (ci_b + 1) * rows_per_chunk] = b
+        base_kw = dict(base_row=jnp.asarray(base_row), has_bases=True)
+    dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
+        lat2d,
+        jnp.asarray(order_row),
+        jnp.asarray(rowlen),
+        jnp.asarray(nreal),
+        jnp.asarray(extract_idx),
+        max_order=int(orders_a.max()) if n_chunks else 0,
+        n_chunks=n_chunks,
+        rows_per_chunk=rows_per_chunk,
+        page_n=page_n,
+        lat_bits=lat_bits,
+        **base_kw,
+    )
+
+    # secondary-var phase for device IntMult chunks
+    sec_handles = []
+    sec_row_of: Dict[int, int] = {}
+    sec_rows_dev = None
+    im_live = [ci2 for ci2 in range(n_chunks)
+               if ci2 in bases_map and live_a[ci2]]
+    if im_live:
+        by_ubl_sec: Dict[int, list] = {}
+        for ci2 in im_live:
+            ubl_sec = min(int(ubls[ci2]), c.LIMITED_UNOPTIMIZED_BINS_LOG)
+            by_ubl_sec.setdefault(ubl_sec, []).append(ci2)
+        sec_parts = []
+        row_base = 0
+        for ubl_sec, cis in by_ubl_sec.items():
+            rows_idx = np.concatenate([
+                np.arange(ci2 * rows_per_chunk, (ci2 + 1) * rows_per_chunk)
+                for ci2 in cis
+            ]).astype(np.int32)
+            base_sel = np.repeat(
+                np.array([bases_map[ci2] for ci2 in cis], np.uint64),
+                rows_per_chunk,
+            )
+            ns = np.array([chunk_ns[ci2] for ci2 in cis], np.int64)
+            rows_d, dense_d, nbn_d = _phase_secondary(
+                lat2d, jnp.asarray(rows_idx), jnp.asarray(base_sel),
+                jnp.asarray(rowlen[rows_idx]), jnp.asarray(ns),
+                n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
+                page_n=page_n, nb_log=ubl_sec,
+            )
+            sec_parts.append(rows_d)
+            sec_handles.append((cis, dense_d, nbn_d))
+            for k, ci2 in enumerate(cis):
+                sec_row_of[ci2] = row_base + k * rows_per_chunk
+            row_base += len(cis) * rows_per_chunk
+        sec_rows_dev = (
+            jnp.concatenate(sec_parts, axis=0)
+            if len(sec_parts) > 1 else sec_parts[0]
+        )
+
+    # phase C: the quantile walk (fetch deferred)
+    hist_handles = []
+    by_ubl: Dict[int, list] = {}
+    for ci2 in range(n_chunks):
+        if live_a[ci2]:
+            by_ubl.setdefault(int(ubls[ci2]), []).append(ci2)
+    for ubl_val, lanes in by_ubl.items():
+        buf_w = _phase_walk(
+            V, L, R, SL1, SR, S0, jnp.asarray(nreal),
+            jnp.asarray(np.array(lanes, dtype=np.int32)), nb_log=ubl_val,
+        )
+        hist_handles.append((lanes, buf_w))
+    return {
+        "dev_rows": dev_rows, "moments_dev": moments_dev, "nreal": nreal,
+        "sec_handles": sec_handles, "sec_row_of": sec_row_of,
+        "sec_rows_dev": sec_rows_dev, "hist_handles": hist_handles,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1002,86 +1153,159 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         mode_idx_dev, delta_idx_dev = cached
 
     _t0 = _trace("bookkeeping+indices", _t0)
-    # ---- phase A: bijection + samples ----
-    lat2d, mode_s_dev, delta_s_dev = _phase_latents(
-        nums_dev,
-        mode_idx_dev,
-        delta_idx_dev,
-        kind=nt.kind,
-        mid=int(nt.latent.mid),
-        total_rows=total_rows,
-        page_n=page_n,
-    )
-    # samples come back u64-widened; decisions are latent-width sensitive
-    # (wrapping diffs in the delta sample compressions), so narrow first.
-    # The mode sample (~n/40 latents) is only fetched for float auto-mode
-    # bids; IntMult screening and the auto-delta candidate histograms are
-    # reduced on device, so the delta sample is never fetched either.
-    _t0 = _trace("phaseA dispatch", _t0)
     is_int_auto = nt.kind != "float" and config.mode_spec.kind == ModeSpec.AUTO
+    is_delta_auto = config.delta_spec.kind == cmp.DeltaSpec.AUTO
     ubls = np.zeros(n_chunks, dtype=np.int32)
     for ci, cn in enumerate(chunk_ns):
         ubls[ci] = cmp.choose_unoptimized_bins_log(level, cn)
-
-    # dispatch the IntMult screening before any fetch; delta-candidate
-    # groups follow (for int data they wait for the screening result, since
-    # IntMult chunks decide delta on PRIMARY latents = latent // base)
-    gcd_handle = (
-        _int_bases_dispatch(mode_s_dev, mode_spans, chunk_ns) if is_int_auto else None
-    )
-    if gcd_handle is not None:
-        _prefetch(*gcd_handle[0])
     mo = c.MAX_CONSECUTIVE_DELTA_ORDER
-    n_cand = mo + 1  # noop + orders; the lookback candidate is host-evaluated
+    n_cand1 = STAGE1_ORDERS + 1
 
-    def _dispatch_cands(bases_arr):
-        handles = []
-        if config.delta_spec.kind != cmp.DeltaSpec.AUTO:
-            return handles
-        dec_groups: Dict[int, list] = {}
+    # ---- stage 1: ONE fused dispatch (bijection + gathers + IntMult GCD
+    # screening + stage-1 delta candidates) and ONE packed fetch. Every
+    # round trip through the tunnel costs ~30 ms of latency, so the plan is
+    # structured around two device round trips total on the common path. ----
+    gcd_starts = np.array([a for a, _ in mode_spans], np.int32)
+    gcd_lens = np.array([m for _, m in mode_spans], np.int32)
+    gcd_m_max = int(gcd_lens.max()) if n_chunks else 0
+    int_auto_eff = is_int_auto and gcd_m_max >= 3
+
+    dec_groups: Dict[int, list] = {}
+    if is_delta_auto:
         for ci, cn in enumerate(chunk_ns):
-            dn = delta_spans[ci][1]
-            if dn < 2:
-                continue  # degenerate: host decision from a tiny fetch below
-            dec_groups.setdefault(int(ubls[ci]), []).append(ci)
-        for ubl_g, cis in dec_groups.items():
-            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
-            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
-            m_max = int(lens_g.max())
-            kw = {}
-            if bases_arr is not None and any(bases_arr[ci] > 1 for ci in cis):
-                kw = dict(
+            if delta_spans[ci][1] >= 2:
+                dec_groups.setdefault(int(ubls[ci]), []).append(ci)
+    groups_list = sorted(dec_groups.items())
+    cand_cis = [ci for _, cis in groups_list for ci in cis]
+    cand_starts = np.array([delta_spans[ci][0] for ci in cand_cis], np.int32)
+    cand_lens_np = np.array([delta_spans[ci][1] for ci in cand_cis], np.int32)
+    cand_meta = []
+    pos = 0
+    for ubl_g, cis in groups_list:
+        lens_g = cand_lens_np[pos : pos + len(cis)]
+        cand_meta.append((len(cis), int(lens_g.max()), ubl_g))
+        pos += len(cis)
+
+    lat2d, mode_s_dev, delta_s_dev, buf_d = _phase_stage1(
+        nums_dev, mode_idx_dev, delta_idx_dev,
+        jnp.asarray(gcd_starts), jnp.asarray(gcd_lens),
+        jnp.asarray(cand_starts), jnp.asarray(cand_lens_np),
+        kind=nt.kind, mid=int(nt.latent.mid), total_rows=total_rows,
+        page_n=page_n, int_auto=int_auto_eff, gcd_m_max=gcd_m_max,
+        cand_meta=tuple(cand_meta), lat_bits=lt.bits,
+        fetch_mode_s=is_float_auto,
+    )
+    _t0 = _trace("stage1 dispatch", _t0)
+    import threading
+
+    # speculative phase 2: dispatch B/C from the previous same-shaped
+    # plan's decisions so their device compute overlaps the decision round
+    # trip below; results are consumed only if the real decisions match
+    ph2_ctx = (ubls, chunk_ns, pages_per_chunk, rows_per_chunk, total_rows,
+               page_n, n_chunks, lat2d, rowlen, nt.latent.bits)
+    hint_key = (
+        tuple(chunk_ns), page_n, str(np.dtype(nums.dtype)), level,
+        config.mode_spec.kind, config.delta_spec.kind,
+        config.delta_spec.order, config.enable_8_bit,
+    )
+    spec_hint = _SPEC_HINTS.get(hint_key)
+    spec_ph2 = None
+    if spec_hint is not None:
+        spec_ph2 = _dispatch_phase2_impl(
+            ph2_ctx, spec_hint["orders"], spec_hint["live"], spec_hint["bases"]
+        )
+
+    # fetch the small decision buffer FIRST (the ~n/50-latent delta sample
+    # is 30x bigger and would hog the tunnel); the sample transfer then
+    # overlaps the host decision math below
+    buf = np.asarray(buf_d)
+    ds_box: Dict[str, np.ndarray] = {}
+    ds_thread = threading.Thread(
+        target=lambda: ds_box.__setitem__("v", np.asarray(delta_s_dev))
+    )
+    ds_thread.start()
+    _t0 = _trace("stage1 fetch", _t0)
+
+    def _delta_samples() -> np.ndarray:
+        ds_thread.join()
+        return ds_box["v"]
+
+    off = 0
+    gcd_np = None
+    if int_auto_eff:
+        K = _GCD_K
+        g_vals = buf[off : off + n_chunks * K].reshape(n_chunks, K)
+        off += n_chunks * K
+        g_cnts = buf[off : off + n_chunks * K].reshape(n_chunks, K).astype(np.int64)
+        off += n_chunks * K
+        g_nuniq = buf[off : off + n_chunks].astype(np.int64)
+        off += n_chunks
+        gcd_np = (g_vals, g_cnts, g_nuniq)
+    cand_bins_by_ci: Dict[int, list] = {}
+    pos = 0
+    for (g_n, g_m, g_nb), (ubl_g, cis) in zip(cand_meta, groups_list):
+        rows = g_n * n_cand1
+        nbn = buf[off : off + rows].astype(np.int64)
+        off += rows
+        cap = rows * (1 << g_nb) * 3
+        dense = buf[off : off + cap].reshape(rows * (1 << g_nb), 3)
+        off += cap
+        row_starts = np.concatenate([[0], np.cumsum(nbn)])
+        for k, ci in enumerate(cis):
+            lst = []
+            dn_ci = int(cand_lens_np[pos + k])
+            for cand in range(n_cand1):
+                r = k * n_cand1 + cand
+                a_, b_ = int(row_starts[r]), int(row_starts[r + 1])
+                sl = dense[a_:b_]
+                lst.append(((sl[:, 2], sl[:, 0], sl[:, 1]),
+                            max(dn_ci - cand, 0)))
+            cand_bins_by_ci[ci] = lst
+        pos += g_n
+    mode_samples = None
+    if is_float_auto:
+        mode_samples = buf[off : off + len(mode_idx)].astype(lt.np_dtype)
+        off += len(mode_idx)
+    _t0 = _trace("stage1 unpack", _t0)
+
+    # ---- IntMult base scoring (host math from the packed screening) ----
+    int_bases: Dict[int, int] = {}
+    if int_auto_eff:
+        int_bases = _int_bases_collect(
+            (gcd_np, gcd_starts, gcd_lens, gcd_m_max), mode_s_dev, chunk_ns, lt
+        )
+        _t0 = _trace("gcd scoring", _t0)
+        # IntMult chunks decide delta on PRIMARY latents (latent // base):
+        # their stage-1 candidates re-run with the base division
+        if int_bases and is_delta_auto:
+            redis: Dict[int, list] = {}
+            for ci in int_bases:
+                if delta_spans[ci][1] >= 2:
+                    redis.setdefault(int(ubls[ci]), []).append(ci)
+            redis_handles = []
+            for ubl_g, cis in sorted(redis.items()):
+                starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+                lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+                devs = _phase_delta_candidates(
+                    delta_s_dev, jnp.asarray(starts_g),
+                    jnp.asarray(lens_g), n_chunks=len(cis),
+                    m_max=int(lens_g.max()), max_order=STAGE1_ORDERS,
+                    nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
+                    include_lookback=False,
                     bases=jnp.asarray(
-                        np.array([bases_arr[ci] for ci in cis], np.uint64)
-                    ),
+                        np.array([int_bases[ci] for ci in cis], np.uint64)),
                     has_bases=True,
                 )
-            devs = _phase_delta_candidates(
-                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
-                n_chunks=len(cis), m_max=m_max, max_order=mo,
-                nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
-                include_lookback=False, **kw,
-            )
-            handles.append((ubl_g, cis, lens_g, devs))
-        for _g in handles:
-            _prefetch(*_g[3])
-        return handles
-
-    int_bases: Dict[int, int] = {}
-    bases_arr = None
-    if is_int_auto:
-        int_bases = _int_bases_collect(gcd_handle, mode_s_dev, chunk_ns, lt)
-        _t0 = _trace("gcd collect", _t0)
-        if int_bases:
-            bases_arr = np.ones(n_chunks, dtype=np.uint64)
-            for ci_b, b in int_bases.items():
-                bases_arr[ci_b] = b
-    cand_handles = _dispatch_cands(bases_arr)
-    _prefetch(delta_s_dev)
-    _t0 = _trace("cand dispatch", _t0)
-    mode_samples = (
-        np.asarray(mode_s_dev).astype(lt.np_dtype) if is_float_auto else None
-    )
+                redis_handles.append((ubl_g, cis, lens_g, devs))
+            for ubl_g, cis, lens_g, (dense_d, nbn_d) in redis_handles:
+                per_row = _fetch_packed_bins(dense_d, nbn_d)
+                for k, ci in enumerate(cis):
+                    dn_ci = int(lens_g[k])
+                    cand_bins_by_ci[ci] = [
+                        (per_row[k * n_cand1 + cand], max(dn_ci - cand, 0))
+                        for cand in range(n_cand1)
+                    ]
+            _t0 = _trace("intmult cand redispatch", _t0)
 
     # ---- mode routing (host pipeline for Float-mode winners; IntMult
     # winners stay on device: primary/secondary split + two-var encode) ----
@@ -1103,41 +1327,85 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     mode_is_host[ci] = True
 
     # ---- speculative auto-delta decision (no-lookback chain) ----
-    # The true decision is provably either this chain\'s choice or lookback
-    # itself (a smaller intermediate best only makes orders break earlier);
-    # lookback costs are evaluated on the host after phase B dispatches, and
-    # lookback-winning chunks flip to the host pipeline (which re-derives
-    # everything from the numbers).
+    # Stage-1 chains (orders 0..STAGE1_ORDERS) break there for almost all
+    # chunks; the rare continuing chunks get orders STAGE1_ORDERS+1.. from
+    # one more dispatch. The true decision is provably either the chain\'s
+    # choice or lookback itself (a smaller intermediate best only makes
+    # orders break earlier); lookback costs are evaluated on the host after
+    # phase B dispatches, and lookback-winning chunks flip to the host
+    # pipeline (which re-derives everything from the numbers).
     delta_encs: Dict[int, DeltaEncoding] = {}
     spec_chains: Dict[int, list] = {}
-    if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+    if is_delta_auto:
         for ci, cn in enumerate(chunk_ns):
             if not mode_is_host[ci] and delta_spans[ci][1] < 2:
                 a, m = delta_spans[ci]
-                sample = np.asarray(delta_s_dev[a : a + m])
+                sample = _delta_samples()[a : a + m]
                 if ci in int_bases:
                     sample = sample // np.uint64(int_bases[ci])
                 delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
                     sample.astype(lt.np_dtype), cn, int(ubls[ci]), lt
                 )
-        for ubl_g, cis, lens_g, (dense_d, nbn_d) in cand_handles:
-            if all(mode_is_host[ci] for ci in cis):
-                continue
-            per_row = _fetch_packed_bins(dense_d, nbn_d)
-            lens64 = lens_g.astype(np.int64)
-            for k, ci in enumerate(cis):
-                if mode_is_host[ci]:
-                    continue
-                cand_bins = []
-                for cand in range(n_cand):
-                    bins_list = per_row[k * n_cand + cand]
-                    n_stored = max(int(lens64[k]) - cand, 0)
-                    cand_bins.append((bins_list, n_stored))
-                chain = cmp.orders_chain_from_cand_bins(cand_bins, ubl_g, lt)
-                spec_chains[ci] = chain
-                delta_encs[ci] = cmp.finalize_delta_choice(chain, None, chunk_ns[ci])
+        unbroken: Dict[int, list] = {}
+        chain_items = [
+            (ci, cb) for ci, cb in cand_bins_by_ci.items() if not mode_is_host[ci]
+        ]
 
-    _t0 = _trace("cand fetch+decisions", _t0)
+        def _chain_of(item):
+            ci, cb = item
+            return cmp.extend_orders_chain([], cb, int(ubls[ci]), lt)
+
+        if len(chain_items) > 3:
+            # the bin DP inside each eval is native (GIL released)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                chain_results = list(pool.map(_chain_of, chain_items))
+        else:
+            chain_results = [_chain_of(it) for it in chain_items]
+        for (ci, _), (chain, broke) in zip(chain_items, chain_results):
+            spec_chains[ci] = chain
+            if not broke:
+                unbroken.setdefault(int(ubls[ci]), []).append(ci)
+        if unbroken:
+            # stage 2: orders STAGE1_ORDERS+1..MAX for the continuing chunks
+            s2_handles = []
+            for ubl_g, cis in sorted(unbroken.items()):
+                starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+                lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+                kw = {}
+                if any(ci in int_bases for ci in cis):
+                    kw = dict(
+                        bases=jnp.asarray(np.array(
+                            [int_bases.get(ci, 1) for ci in cis], np.uint64)),
+                        has_bases=True,
+                    )
+                devs = _phase_delta_candidates(
+                    delta_s_dev, jnp.asarray(starts_g),
+                    jnp.asarray(lens_g), n_chunks=len(cis),
+                    m_max=int(lens_g.max()), max_order=mo,
+                    nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
+                    include_lookback=False, min_order=STAGE1_ORDERS + 1, **kw,
+                )
+                s2_handles.append((ubl_g, cis, lens_g, devs))
+            n_cand2 = mo - STAGE1_ORDERS
+            for ubl_g, cis, lens_g, (dense_d, nbn_d) in s2_handles:
+                per_row = _fetch_packed_bins(dense_d, nbn_d)
+                for k, ci in enumerate(cis):
+                    dn_ci = int(lens_g[k])
+                    more = [
+                        (per_row[k * n_cand2 + j],
+                         max(dn_ci - (STAGE1_ORDERS + 1 + j), 0))
+                        for j in range(n_cand2)
+                    ]
+                    chain, _ = cmp.extend_orders_chain(
+                        spec_chains[ci], more, ubl_g, lt)
+                    spec_chains[ci] = chain
+            _t0 = _trace("stage2 cands", _t0)
+        for ci, chain in spec_chains.items():
+            delta_encs[ci] = cmp.finalize_delta_choice(chain, None, chunk_ns[ci])
+
+    _t0 = _trace("cand decisions", _t0)
     # ---- final per-chunk delta encodings ----
     orders = np.zeros(n_chunks, dtype=np.int32)
     encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
@@ -1159,100 +1427,55 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         encs[ci] = enc
         orders[ci] = enc.order if enc.kind == DeltaEncoding.CONSECUTIVE else 0
 
-    # ---- phase B: delta + sort + extracts ----
-    NB = 1 << int(ubls.max()) if n_chunks else 1
-    order_row = np.repeat(orders, rows_per_chunk).astype(np.int32)
-    nreal = np.zeros(n_chunks, dtype=np.int64)
-    extract_idx = np.zeros((n_chunks, NB), dtype=np.int64)
-    for ci, cn in enumerate(chunk_ns):
-        if encs[ci] is None:
-            continue
-        nr = cn - int(orders[ci]) * len(pages_per_chunk[ci])
-        nreal[ci] = nr
-        nb = 1 << int(ubls[ci])
-        j = np.arange(nb, dtype=np.int64)
-        cc_pos = ((j + 1) * nr + nb - 1) >> int(ubls[ci])
-        extract_idx[ci, :nb] = np.minimum(cc_pos - 1, max(nr - 1, 0))
-    _t0 = _trace("enc resolution", _t0)
-    base_kw = {}
-    if int_bases:
-        base_row = np.ones(total_rows, dtype=np.uint64)
-        for ci_b, b in int_bases.items():
-            base_row[ci_b * rows_per_chunk : (ci_b + 1) * rows_per_chunk] = b
-        base_kw = dict(base_row=jnp.asarray(base_row), has_bases=True)
-    dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
-        lat2d,
-        jnp.asarray(order_row),
-        jnp.asarray(rowlen),
-        jnp.asarray(nreal),
-        jnp.asarray(extract_idx),
-        max_order=int(orders.max()) if n_chunks else 0,
-        n_chunks=n_chunks,
-        rows_per_chunk=rows_per_chunk,
-        page_n=page_n,
-        lat_bits=nt.latent.bits,
-        **base_kw,
+    # ---- phase 2 decision compare + (re)dispatch ----
+
+    live = np.array([e is not None for e in encs], dtype=bool)
+    use_spec = (
+        spec_ph2 is not None
+        and np.array_equal(spec_hint["orders"], orders)
+        and np.array_equal(spec_hint["live"], live)
+        and spec_hint["bases"] == int_bases
     )
-    _t0 = _trace("phaseB dispatch", _t0)
-
-    # ---- secondary-var phase for device IntMult chunks ----
-    sec_handles = []  # (cis, local row base, rows dev, dense, nbn)
-    sec_row_of: Dict[int, int] = {}
-    sec_rows_dev = None
-    im_live = [ci for ci in range(n_chunks) if ci in int_bases and encs[ci] is not None]
-    if im_live:
-        by_ubl_sec: Dict[int, list] = {}
-        for ci in im_live:
-            ubl_sec = min(int(ubls[ci]), c.LIMITED_UNOPTIMIZED_BINS_LOG)
-            by_ubl_sec.setdefault(ubl_sec, []).append(ci)
-        sec_parts = []
-        row_base = 0
-        for ubl_sec, cis in by_ubl_sec.items():
-            rows_idx = np.concatenate([
-                np.arange(ci * rows_per_chunk, (ci + 1) * rows_per_chunk)
-                for ci in cis
-            ]).astype(np.int32)
-            base_sel = np.repeat(
-                np.array([int_bases[ci] for ci in cis], np.uint64), rows_per_chunk
-            )
-            ns = np.array([chunk_ns[ci] for ci in cis], np.int64)
-            rows_d, dense_d, nbn_d = _phase_secondary(
-                lat2d, jnp.asarray(rows_idx), jnp.asarray(base_sel),
-                jnp.asarray(rowlen[rows_idx]), jnp.asarray(ns),
-                n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
-                page_n=page_n, nb_log=ubl_sec,
-            )
-            _prefetch(dense_d, nbn_d)
-            sec_parts.append(rows_d)
-            sec_handles.append((cis, dense_d, nbn_d))
-            for k, ci in enumerate(cis):
-                sec_row_of[ci] = row_base + k * rows_per_chunk
-            row_base += len(cis) * rows_per_chunk
-        sec_rows_dev = (
-            jnp.concatenate(sec_parts, axis=0) if len(sec_parts) > 1 else sec_parts[0]
+    ph2 = (
+        spec_ph2 if use_spec
+        else _dispatch_phase2_impl(ph2_ctx, orders, live, int_bases)
+    )
+    _SPEC_HINTS[hint_key] = {
+        "orders": orders.copy(), "live": live.copy(), "bases": dict(int_bases),
+    }
+    if len(_SPEC_HINTS) > 16:
+        _SPEC_HINTS.clear()
+    dev_rows = ph2["dev_rows"]
+    moments_dev = ph2["moments_dev"]
+    nreal = ph2["nreal"]
+    sec_handles = ph2["sec_handles"]
+    sec_row_of = ph2["sec_row_of"]
+    sec_rows_dev = ph2["sec_rows_dev"]
+    hist_handles = ph2["hist_handles"]
+    _t0 = _trace(f"phase2 dispatch (spec={'hit' if use_spec else 'miss'})", _t0)
+    # fetch the phase-B/C results in worker threads while the host
+    # evaluates the lookback candidates (device compute + transfer overlap
+    # the host math)
+    fetch_box: Dict[str, np.ndarray] = {}
+    fetch_threads = [
+        threading.Thread(
+            target=lambda: fetch_box.__setitem__("m", np.asarray(moments_dev))
         )
-    _t0 = _trace("secondary dispatch", _t0)
-
-    # ---- phase C dispatch: the quantile walk on device (fetch deferred) ----
-    hist_handles = []
-    by_ubl: Dict[int, list] = {}
-    for ci in range(n_chunks):
-        if encs[ci] is not None:
-            by_ubl.setdefault(int(ubls[ci]), []).append(ci)
-    for ubl_val, lanes in by_ubl.items():
-        sel = jnp.asarray(np.array(lanes, dtype=np.int32))
-        dense_d, nbn_d = _phase_walk(
-            V, L, R, SL1, SR, S0, jnp.asarray(nreal), sel, nb_log=ubl_val
-        )
-        hist_handles.append((lanes, dense_d, nbn_d))
-        _prefetch(dense_d, nbn_d)
-    _prefetch(moments_dev)
+    ]
+    for gi, (lanes, buf_w) in enumerate(hist_handles):
+        fetch_threads.append(threading.Thread(
+            target=lambda gi=gi, b=buf_w: fetch_box.__setitem__(
+                f"w{gi}", np.asarray(b))
+        ))
+    for t in fetch_threads:
+        t.start()
 
     # ---- host lookback candidate (overlaps device phase B + walk) ----
-    # evaluated whenever the reference would (noop cost > penalty), from one
-    # batched sample fetch; if the true decision differs from the speculated
-    # chain (== lookback wins, per the chain theorem above), the chunk flips
-    # to the host pipeline, which re-derives everything from the numbers.
+    # evaluated whenever the reference would (noop cost > penalty), from the
+    # stage-1 sample (already on host); if the true decision differs from
+    # the speculated chain (== lookback wins, per the chain theorem above),
+    # the chunk flips to the host pipeline, which re-derives everything
+    # from the numbers.
     lb_pending = [
         ci for ci in spec_chains
         if encs[ci] is not None
@@ -1260,31 +1483,50 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         > cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * delta_spans[ci][1]
     ]
     if lb_pending:
-        delta_samples = np.asarray(delta_s_dev)
-        for ci in lb_pending:
+        ds = _delta_samples()
+
+        def _lb_cost(ci):
             a, dn = delta_spans[ci]
-            sample = delta_samples[a : a + dn]
+            sample = ds[a : a + dn]
             if ci in int_bases:
                 sample = sample // np.uint64(int_bases[ci])
-            sample = sample.astype(lt.np_dtype)
             penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
-            lb_cost = cmp._compressed_sample_size(
-                sample, int(ubls[ci]), cmp.new_lookback(dn), lt
+            return cmp.lookback_cost_from_sample(
+                sample.astype(lt.np_dtype), int(ubls[ci]),
+                cmp.new_lookback(dn), lt,
             ) + penalty
+
+        # the hot loops (lookback chooser, bin DP) are native and release
+        # the GIL, so a small thread pool overlaps the per-chunk evals
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(lb_pending) > 3:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                lb_costs = list(pool.map(_lb_cost, lb_pending))
+        else:
+            lb_costs = [_lb_cost(ci) for ci in lb_pending]
+        for ci, lb_cost in zip(lb_pending, lb_costs):
             true = cmp.finalize_delta_choice(spec_chains[ci], lb_cost, chunk_ns[ci])
             enc = encs[ci]
             if (true.kind, true.order) != (enc.kind, enc.order):
                 encs[ci] = None  # lookback (or theorem violation): host path
     _t0 = _trace("lookback host eval", _t0)
 
-    moments = np.asarray(moments_dev)
-    _t0 = _trace("moments fetch", _t0)
+    for t in fetch_threads:
+        t.join()
+    moments = fetch_box["m"]
+    _t0 = _trace("moments+walk join", _t0)
 
     hist_bins: Dict[int, list] = {}
-    for lanes, dense_d, nbn_d in hist_handles:
-        per_row = _fetch_packed_bins(dense_d, nbn_d)
+    for gi, (lanes, buf_w) in enumerate(hist_handles):
+        wb = fetch_box[f"w{gi}"]
+        nbn_w = wb[: len(lanes)].astype(np.int64)
+        dense_w = wb[len(lanes) :].reshape(-1, 3)
+        row_starts = np.concatenate([[0], np.cumsum(nbn_w)])
         for k, ci in enumerate(lanes):
-            hist_bins[ci] = per_row[k]
+            a_, b_ = int(row_starts[k]), int(row_starts[k + 1])
+            sl = dense_w[a_:b_]
+            hist_bins[ci] = (sl[:, 2], sl[:, 0], sl[:, 1])
     sec_bins: Dict[int, tuple] = {}
     for cis, dense_d, nbn_d in sec_handles:
         per_row = _fetch_packed_bins(dense_d, nbn_d)
