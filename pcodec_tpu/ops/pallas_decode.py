@@ -544,6 +544,7 @@ class ChunkPlan:
     var_plans: Dict[str, VarPlan]
     fallback: Optional[np.ndarray] = None  # host-decoded numbers
     dict_vals: Optional[np.ndarray] = None
+    dict_planes: Optional[np.ndarray] = None  # (2, P, 8, 128) int32 lane-gather planes
     mode_scalar: int = 0
 
 
@@ -631,6 +632,7 @@ def plan_container(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             cp.mode_scalar = int(meta.mode.payload)
         elif meta.mode.kind == Mode.DICT:
             cp.dict_vals = meta.mode.payload.astype(np.uint64)
+            cp.dict_planes = _dict_mem_planes(idx.nt, cp.dict_vals)
 
         page_starts = np.array([p.byte_start for p in pages], dtype=np.int64)
         body_bytes = page_starts + meta_nbytes
@@ -994,6 +996,7 @@ def plan_standalone(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
             cp.mode_scalar = int(meta.mode.payload)
         elif meta.mode.kind == Mode.DICT:
             cp.dict_vals = meta.mode.payload.astype(np.uint64)
+            cp.dict_planes = _dict_mem_planes(nt, cp.dict_vals)
 
         launch_items = []
         if supported:
@@ -1318,6 +1321,83 @@ def float_mult_f64_device_ok(meta, nt) -> bool:
     max_abs = max(abs(max_lat - mid_i), abs(int(vm.bins.lowers[0]) - mid_i)) + 1
     return max_abs < (1 << 52)
 
+_DICT_JOIN_MAX_ENTRIES = 8192  # tree-select cost ~ entries/128 per gather
+
+
+def _dict_mem_planes(nt: NumberType, dict_vals: np.ndarray):
+    """Row-replicated lane-gather planes of the dictionary's raw memory
+    bits: (2, P, 8, 128) int32 (lo/hi u32 words), P = ceil(D/128). The
+    latent->memory conversion (sign toggle for signed, float bijection
+    inverse for floats) is folded into the table so the kernel's gather
+    emits final word pairs. Returns None past the cap (the XLA gather
+    path then applies). ref: pco/src/mode/dict.rs (join = dict[primary])."""
+    D = int(dict_vals.shape[0])
+    if D == 0 or D > _DICT_JOIN_MAX_ENTRIES:
+        return None
+    bits = nt.latent.bits
+    mask = np.uint64((1 << bits) - 1) if bits < 64 else np.uint64(2**64 - 1)
+    l = dict_vals.astype(np.uint64) & mask
+    if nt.kind == "unsigned":
+        mem = l
+    elif nt.kind == "signed":
+        mem = (l ^ np.uint64(1 << (bits - 1))) & mask
+    else:
+        mid = np.uint64(1 << (bits - 1))
+        mem = np.where((l & mid) != 0, l ^ mid, (~l) & mask)
+    P = -(-D // 128)
+    padded = np.zeros(P * 128, dtype=np.uint64)
+    padded[:D] = mem
+    lo = (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    hi = (padded >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    planes = np.stack([lo.reshape(P, 1, 128), hi.reshape(P, 1, 128)])
+    return np.broadcast_to(planes, (2, P, 8, 128)).copy()
+
+
+def _dict_join_kernel_body(idx_ref, planes_ref, lo_ref, hi_ref, P):
+    with jax.enable_x64(False):
+        idx = idx_ref[0]
+        lo_ref[0] = _tree_gather([planes_ref[0, k] for k in range(P)], idx)
+        hi_ref[0] = _tree_gather([planes_ref[1, k] for k in range(P)], idx)
+
+
+def _dict_join_pairs(primary_flat, planes_dev, n_entries: int):
+    """Dict join on device: primary (n,) u64 index latents -> (n, 2) int32
+    little-endian memory-bit word pairs via VMEM lane-gather trees (the
+    XLA per-element gather runs ~35 M/s and would dominate dict decode).
+    Clamp semantics match _join_mem's XLA path."""
+    n = primary_flat.shape[0]
+    P = planes_dev.shape[1]
+    idx = jnp.minimum(
+        primary_flat & xops._mask_of(32), jnp.uint64(n_entries - 1)
+    ).astype(jnp.int32)
+    blocks = max(-(-n // 1024), 1)
+    pad = blocks * 1024 - n
+    idx2 = jnp.pad(idx, (0, pad)).reshape(blocks, 8, 128)
+    kernel = partial(_dict_join_kernel_body, P=P)
+    out_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, P, 8, 128),
+                         lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((blocks, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((blocks, 8, 128), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(idx2, planes_dev)
+    return jnp.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1)[:n]
+
+
 def _join_mem(nt: NumberType, mode_kind, mode_scalar, dict_vals, primary, secondary):
     """Mode join producing the number's raw memory bits as u64 (devices on
     this platform do not represent f64 bit-faithfully, so the final
@@ -1439,8 +1519,16 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
                 else mem32.reshape(0, 2)
             )
         else:
-            dict_vals = jnp.asarray(cp.dict_vals) if cp.dict_vals is not None else None
             prim = var_latents["primary"].reshape(-1)
+            if cp.meta.mode.kind == Mode.DICT and cp.dict_planes is not None:
+                # lane-gather join kernel emits int32 word pairs directly
+                pairs = _dict_join_pairs(
+                    prim, jnp.asarray(cp.dict_planes), len(cp.dict_vals)
+                )
+                flat = pairs[:n_valid] if cp.n_pages else pairs[:0]
+                results.append(flat)
+                continue
+            dict_vals = jnp.asarray(cp.dict_vals) if cp.dict_vals is not None else None
             sec_ = var_latents.get("secondary")
             sec_ = sec_.reshape(-1) if sec_ is not None else None
             nums = _join_mem(

@@ -177,3 +177,62 @@ class TestDeviceDecode:
         nums = taxi_like(3000)
         for pn in (256, 512, 2048):
             _roundtrip(nums, page_n=pn)
+
+
+class TestDictJoinKernel:
+    """Unit tests for the lane-gather dict join (interpret mode on CPU).
+
+    End-to-end dict decode through the kernel is covered by
+    TestDeviceMatrix.test_dict_mode on real hardware; these verify the
+    planes builder + tree gather against _join_mem's XLA semantics on
+    tiny shapes (multi-plane trees, all number kinds, index clamping)."""
+
+    def _check(self, nt_np, dict_nums, idx):
+        import jax.numpy as jnp
+        import pcodec_tpu.ops.pallas_decode as pd
+        from pcodec_tpu.dtypes import number_type_from_np
+
+        nt = number_type_from_np(np.dtype(nt_np))
+        # latent-ordered dictionary (what chunk meta carries)
+        lat = nt.to_latent_ordered(dict_nums).astype(np.uint64)
+        planes = pd._dict_mem_planes(nt, lat)
+        assert planes is not None and planes.shape[0] == 2
+        prim = jnp.asarray(idx.astype(np.uint64))
+        old = pd._INTERPRET
+        pd._INTERPRET = True
+        try:
+            pairs = np.asarray(pd._dict_join_pairs(prim, jnp.asarray(planes), len(lat)))
+        finally:
+            pd._INTERPRET = old
+        got = np.ascontiguousarray(pairs).view(np.uint64).reshape(-1)
+        clamped = np.minimum(idx, len(lat) - 1)
+        w = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[
+            np.dtype(nt_np).itemsize
+        ]
+        expect = dict_nums[clamped].view(w).astype(np.uint64)
+        assert np.array_equal(got, expect)
+
+    def test_i64_multi_plane(self):
+        d = RNG.integers(-(10**12), 10**12, 300).astype(np.int64)
+        self._check(np.int64, d, RNG.integers(0, 300, 2500).astype(np.int64))
+
+    def test_u32_single_plane(self):
+        d = RNG.integers(0, 2**31, 100).astype(np.uint32)
+        self._check(np.uint32, d, RNG.integers(0, 100, 1000).astype(np.int64))
+
+    def test_f64_and_clamp(self):
+        d = RNG.standard_normal(513)  # 5 planes, odd tail
+        idx = RNG.integers(0, 700, 3000)  # some out of range -> clamped
+        self._check(np.float64, d, idx.astype(np.int64))
+
+    def test_f16(self):
+        d = (RNG.standard_normal(150).astype(np.float16))
+        self._check(np.float16, d, RNG.integers(0, 150, 1100).astype(np.int64))
+
+    def test_cap(self):
+        import pcodec_tpu.ops.pallas_decode as pd
+        from pcodec_tpu.dtypes import number_type_from_np
+
+        nt = number_type_from_np(np.dtype(np.int64))
+        big = np.arange(pd._DICT_JOIN_MAX_ENTRIES + 1, dtype=np.uint64)
+        assert pd._dict_mem_planes(nt, big) is None
