@@ -37,6 +37,7 @@ from pcodec_tpu.codec import compress as cmp
 from pcodec_tpu.dtypes import LATENT_TYPES, NumberType
 from pcodec_tpu.format.metadata import DeltaEncoding, Mode, PerLatentVar
 from pcodec_tpu.modes import int_mult
+from pcodec_tpu.ops import softfloat
 
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -208,10 +209,12 @@ def _phase_float_keep(nums_dev, draw_idx, mid, exp_mask, max_bits):
 
 
 @partial(jax.jit, static_argnames=("max_order", "n_chunks", "rows_per_chunk",
-                                   "page_n", "lat_bits", "has_bases"))
+                                   "page_n", "lat_bits", "has_bases",
+                                   "f_params"))
 def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
                       max_order, n_chunks, rows_per_chunk, page_n, lat_bits,
-                      base_row=None, has_bases=False):
+                      base_row=None, has_bases=False, fmult_invb_row=None,
+                      f_params=None):
     """Per-page consecutive delta (vectorized, every order at once), then a
     per-chunk sort of the junk-masked deltas and the batched quantile
     extraction that drives the histogram walk on the host.
@@ -224,6 +227,13 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
     with base > 1 are replaced by their PRIMARY latents (latent // base)
     before delta (mode split precedes delta, ref: chunk_compressor.rs:477).
     """
+    if f_params is not None:
+        # FloatMult rows are replaced by their PRIMARY latents (softfloat
+        # split; invb bits 0 = not a FloatMult row)
+        W, E, P = f_params
+        prim = softfloat.float_mult_primary(
+            lat2d, fmult_invb_row[:, None], W, E, P)
+        lat2d = jnp.where(fmult_invb_row[:, None] != 0, prim, lat2d)
     if has_bases:
         lat2d = lat2d // jnp.maximum(base_row, jnp.uint64(1))[:, None]
     out = lat2d
@@ -676,11 +686,11 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "include_lookback", "has_bases", "min_order"))
+    "include_lookback", "has_bases", "min_order", "f_params"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
                             include_lookback=True, bases=None, has_bases=False,
-                            min_order=0):
+                            min_order=0, fmult_invb=None, f_params=None):
     """Histogram bins for auto-delta candidates, reduced on device.
 
     Candidates per chunk (row-major in the output): noop, consecutive 1..
@@ -697,6 +707,12 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     idx = jnp.clip(starts[:, None] + pos, 0, delta_s.shape[0] - 1)
     valid = pos < lens[:, None]
     sm = jnp.where(valid, delta_s[idx], jnp.uint64(0))
+    if f_params is not None:
+        # FloatMult chunks decide delta on the PRIMARY latents (softfloat
+        # split); invb bits 0 = not a FloatMult chunk (inv_base is normal)
+        W, E, P = f_params
+        prim = softfloat.float_mult_primary(sm, fmult_invb[:, None], W, E, P)
+        sm = jnp.where(fmult_invb[:, None] != 0, prim, sm)
     if has_bases:
         # IntMult chunks decide delta on the PRIMARY latents (latent // base,
         # ref: chunk_compressor.rs:408-418 via SplitLatents); base 1 = classic
@@ -762,19 +778,37 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "rows_per_chunk", "page_n",
-                                   "nb_log"))
-def _phase_secondary(lat2d, row_sel, base_row, rowlen, n_stored,
-                     n_chunks, rows_per_chunk, page_n, nb_log):
-    """IntMult secondary latents (latent % base) for the selected chunk
-    rows: page rows for the EB kernels plus the unoptimized-histogram walk
-    bins (NOOP delta — all positions stored, no junk fronts).
+                                   "nb_log", "lat_bits", "f_params"))
+def _phase_secondary(lat2d, row_sel, base_row, flip_row, rowlen, n_stored,
+                     n_chunks, rows_per_chunk, page_n, nb_log, lat_bits=64,
+                     fmult_invb_row=None, fmult_base_row=None, f_params=None):
+    """Secondary (adjustment) latents for the selected chunk rows: page rows
+    for the EB kernels plus the unoptimized-histogram walk bins (NOOP delta
+    — all positions stored, no junk fronts). IntMult secondary =
+    latent % base; FloatQuant secondary = low bits with the negative-sign
+    flip (flip_row set, base = 2^k; ref: mode/float_quant.rs split — the
+    float is negative exactly when its ordered latent < mid); FloatMult
+    secondary = the softfloat adjustment (invb bits != 0 selects it,
+    base_row is 1 there).
 
     row_sel (n_chunks*rows_per_chunk,) i32: page-row indices into lat2d.
-    base_row: base per selected row (>= 2). rowlen: real numbers per
-    selected row. n_stored (n_chunks,): chunk sizes (histogram population).
+    base_row: base per selected row (>= 2). flip_row: bool per selected
+    row. rowlen: real numbers per selected row. n_stored (n_chunks,):
+    chunk sizes (histogram population).
     """
     lat = lat2d[row_sel]
-    sec = lat % jnp.maximum(base_row, jnp.uint64(1))[:, None]
+    base = jnp.maximum(base_row, jnp.uint64(1))[:, None]
+    sec = lat % base
+    mid = jnp.uint64(1 << (lat_bits - 1))
+    neg_flip = flip_row[:, None] & (lat < mid)
+    sec = jnp.where(neg_flip, (base - jnp.uint64(1)) - sec, sec)
+    if f_params is not None:
+        W, E, P = f_params
+        invb = fmult_invb_row[:, None]
+        prim = softfloat.float_mult_primary(lat, invb, W, E, P)
+        adj = softfloat.float_mult_adjustment(
+            lat, prim, fmult_base_row[:, None], W, E, P)
+        sec = jnp.where(invb != 0, adj, sec)
     col = jax.lax.broadcasted_iota(jnp.int32, sec.shape, 1)
     live = col < rowlen[:, None]
     sort_in = jnp.where(live, sec, U64_MAX).reshape(
@@ -854,15 +888,19 @@ def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
     return lat2d, mode_s, delta_s, small
 
 
-def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map):
-    """Dispatch phase B (delta + sort + extracts) + the IntMult secondary
-    phase + the phase-C walk from a (orders, live set, bases) decision
-    vector. Called twice per plan at most: speculatively from the previous
-    plan's decisions (_SPEC_HINTS — its compute overlaps the decision round
-    trip) and for real when the speculation missed; results are only ever
-    consumed when the real decisions match the vector used here."""
+def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
+                          flip_cis=frozenset(), fmult_map=None):
+    """Dispatch phase B (delta + sort + extracts) + the secondary-var
+    phase (IntMult % base / FloatQuant low-bit flip / FloatMult softfloat
+    adjustment) + the phase-C walk from a (orders, live set, bases, flips,
+    fmult) decision vector. Called twice per plan at most: speculatively
+    from the previous plan's decisions (_SPEC_HINTS — its compute overlaps
+    the decision round trip) and for real when the speculation missed;
+    results are only ever consumed when the real decisions match the
+    vector used here. fmult_map: ci -> (inv_base bits, base bits)."""
     (ubls, chunk_ns, pages_per_chunk, rows_per_chunk, total_rows, page_n,
-     n_chunks, lat2d, rowlen, lat_bits) = ctx
+     n_chunks, lat2d, rowlen, lat_bits, f_params) = ctx
+    fmult_map = fmult_map or {}
     NB = 1 << int(ubls.max()) if n_chunks else 1
     order_row = np.repeat(orders_a, rows_per_chunk).astype(np.int32)
     nreal = np.zeros(n_chunks, dtype=np.int64)
@@ -882,6 +920,19 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map):
         for ci_b, b in bases_map.items():
             base_row[ci_b * rows_per_chunk : (ci_b + 1) * rows_per_chunk] = b
         base_kw = dict(base_row=jnp.asarray(base_row), has_bases=True)
+    invb_row_np = None
+    fbase_row_np = None
+    if fmult_map:
+        invb_row_np = np.zeros(total_rows, dtype=np.uint64)
+        fbase_row_np = np.zeros(total_rows, dtype=np.uint64)
+        for ci_f, (invb_b, base_b) in fmult_map.items():
+            sl = slice(ci_f * rows_per_chunk, (ci_f + 1) * rows_per_chunk)
+            invb_row_np[sl] = invb_b
+            fbase_row_np[sl] = base_b
+        base_kw = dict(
+            base_kw, fmult_invb_row=jnp.asarray(invb_row_np),
+            f_params=f_params,
+        )
     dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
         lat2d,
         jnp.asarray(order_row),
@@ -896,12 +947,12 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map):
         **base_kw,
     )
 
-    # secondary-var phase for device IntMult chunks
+    # secondary-var phase for device IntMult / FloatQuant / FloatMult chunks
     sec_handles = []
     sec_row_of: Dict[int, int] = {}
     sec_rows_dev = None
     im_live = [ci2 for ci2 in range(n_chunks)
-               if ci2 in bases_map and live_a[ci2]]
+               if (ci2 in bases_map or ci2 in fmult_map) and live_a[ci2]]
     if im_live:
         by_ubl_sec: Dict[int, list] = {}
         for ci2 in im_live:
@@ -915,15 +966,31 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map):
                 for ci2 in cis
             ]).astype(np.int32)
             base_sel = np.repeat(
-                np.array([bases_map[ci2] for ci2 in cis], np.uint64),
+                np.array([bases_map.get(ci2, 1) for ci2 in cis], np.uint64),
                 rows_per_chunk,
             )
+            flip_sel = np.repeat(
+                np.array([ci2 in flip_cis for ci2 in cis], bool),
+                rows_per_chunk,
+            )
+            fm_kw = {}
+            if any(ci2 in fmult_map for ci2 in cis):
+                fm_kw = dict(
+                    fmult_invb_row=jnp.asarray(np.repeat(np.array(
+                        [fmult_map.get(ci2, (0, 0))[0] for ci2 in cis],
+                        np.uint64), rows_per_chunk)),
+                    fmult_base_row=jnp.asarray(np.repeat(np.array(
+                        [fmult_map.get(ci2, (0, 0))[1] for ci2 in cis],
+                        np.uint64), rows_per_chunk)),
+                    f_params=f_params,
+                )
             ns = np.array([chunk_ns[ci2] for ci2 in cis], np.int64)
             rows_d, dense_d, nbn_d = _phase_secondary(
                 lat2d, jnp.asarray(rows_idx), jnp.asarray(base_sel),
+                jnp.asarray(flip_sel),
                 jnp.asarray(rowlen[rows_idx]), jnp.asarray(ns),
                 n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
-                page_n=page_n, nb_log=ubl_sec,
+                page_n=page_n, nb_log=ubl_sec, lat_bits=lat_bits, **fm_kw,
             )
             sec_parts.append(rows_d)
             sec_handles.append((cis, dense_d, nbn_d))
@@ -1201,8 +1268,12 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # speculative phase 2: dispatch B/C from the previous same-shaped
     # plan's decisions so their device compute overlaps the decision round
     # trip below; results are consumed only if the real decisions match
+    f_params = (
+        (lt.bits, lt.bits - nt.precision_bits - 1, nt.precision_bits + 1)
+        if nt.kind == "float" else None
+    )
     ph2_ctx = (ubls, chunk_ns, pages_per_chunk, rows_per_chunk, total_rows,
-               page_n, n_chunks, lat2d, rowlen, nt.latent.bits)
+               page_n, n_chunks, lat2d, rowlen, nt.latent.bits, f_params)
     hint_key = (
         tuple(chunk_ns), page_n, str(np.dtype(nums.dtype)), level,
         config.mode_spec.kind, config.delta_spec.kind,
@@ -1212,7 +1283,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     spec_ph2 = None
     if spec_hint is not None:
         spec_ph2 = _dispatch_phase2_impl(
-            ph2_ctx, spec_hint["orders"], spec_hint["live"], spec_hint["bases"]
+            ph2_ctx, spec_hint["orders"], spec_hint["live"], spec_hint["bases"],
+            spec_hint["flips"], spec_hint["fmult"],
         )
 
     # fetch the small decision buffer FIRST (the ~n/50-latent delta sample
@@ -1307,24 +1379,98 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     ]
             _t0 = _trace("intmult cand redispatch", _t0)
 
-    # ---- mode routing (host pipeline for Float-mode winners; IntMult
-    # winners stay on device: primary/secondary split + two-var encode) ----
+    # ---- mode routing: every auto-mode winner stays on device. IntMult /
+    # FloatQuant split via integer division; FloatMult splits via the
+    # integer softfloat (ops/softfloat.py) ----
     mode_is_host = np.zeros(n_chunks, dtype=bool)
+    quant_ks: Dict[int, int] = {}
+    fmult_bases: Dict[int, tuple] = {}  # ci -> (base, inv_base) np scalars
     for ci, cn in enumerate(chunk_ns):
         if is_float_auto:
             a, m = mode_spans[ci]
             if m:
                 from pcodec_tpu.modes import float_mult, float_quant
 
-                # |x| sample for the float bids; Classic only wins when
-                # neither bid clears its threshold (float.rs:83-134)
+                # |x| sample for the float bids; the auction order matches
+                # choose_mode_and_split (float.rs:83-134): FloatQuant wins
+                # ties against FloatMult
                 svals = nt.from_latent_ordered(mode_samples[a : a + m])
                 ab = np.abs(svals)
-                if (
-                    float_mult.compute_bid(nt, ab) is not None
-                    or float_quant.compute_bid(nt, ab) is not None
-                ):
-                    mode_is_host[ci] = True
+                fm = float_mult.compute_bid(nt, ab)
+                fq = float_quant.compute_bid(nt, ab)
+                if fq is not None and (fm is None or fq[1] >= fm[2]):
+                    quant_ks[ci] = int(fq[0])
+                elif fm is not None:
+                    fmult_bases[ci] = (fm[0], fm[1])
+
+    # unified per-chunk primary transform: latent // base (FloatQuant's
+    # primary latent is exactly latent >> k == latent // 2^k); FloatMult
+    # carries (inv_base, base) BITS for the softfloat split
+    prim_bases: Dict[int, int] = dict(int_bases)
+    prim_bases.update({ci: 1 << k for ci, k in quant_ks.items()})
+    fmult_map: Dict[int, tuple] = {}
+    for ci, (b_, ib_) in fmult_bases.items():
+        fmult_map[ci] = (
+            int(np.asarray(ib_, nt.np_dtype).view(lt.np_dtype)),
+            int(np.asarray(b_, nt.np_dtype).view(lt.np_dtype)),
+        )
+
+    def _host_primary_sample(ci, sample):
+        """The per-chunk primary transform on a host latent sample."""
+        if ci in prim_bases:
+            return sample // np.uint64(prim_bases[ci])
+        if ci in fmult_bases:
+            b_, ib_ = fmult_bases[ci]
+            from pcodec_tpu.modes import float_mult
+            with np.errstate(all="ignore"):
+                p, _ = float_mult.split_latents(
+                    nt, nt.from_latent_ordered(sample.astype(lt.np_dtype)),
+                    b_, ib_)
+            return p.astype(np.uint64)
+        return sample
+
+    if (quant_ks or fmult_bases) and is_delta_auto:
+        # float-mode chunks decide delta on PRIMARY latents: their stage-1
+        # candidates re-run with the split applied (same as IntMult above)
+        redis_q: Dict[int, list] = {}
+        for ci in list(quant_ks) + list(fmult_bases):
+            if delta_spans[ci][1] >= 2:
+                redis_q.setdefault(int(ubls[ci]), []).append(ci)
+        rq_handles = []
+        for ubl_g, cis in sorted(redis_q.items()):
+            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+            kw = {}
+            if any(ci in prim_bases for ci in cis):
+                kw = dict(
+                    bases=jnp.asarray(np.array(
+                        [prim_bases.get(ci, 1) for ci in cis], np.uint64)),
+                    has_bases=True,
+                )
+            if any(ci in fmult_map for ci in cis):
+                kw.update(
+                    fmult_invb=jnp.asarray(np.array(
+                        [fmult_map.get(ci, (0, 0))[0] for ci in cis],
+                        np.uint64)),
+                    f_params=f_params,
+                )
+            devs = _phase_delta_candidates(
+                delta_s_dev, jnp.asarray(starts_g),
+                jnp.asarray(lens_g), n_chunks=len(cis),
+                m_max=int(lens_g.max()), max_order=STAGE1_ORDERS,
+                nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
+                include_lookback=False, **kw,
+            )
+            rq_handles.append((ubl_g, cis, lens_g, devs))
+        for ubl_g, cis, lens_g, (dense_d, nbn_d) in rq_handles:
+            per_row = _fetch_packed_bins(dense_d, nbn_d)
+            for k, ci in enumerate(cis):
+                dn_ci = int(lens_g[k])
+                cand_bins_by_ci[ci] = [
+                    (per_row[k * n_cand1 + cand], max(dn_ci - cand, 0))
+                    for cand in range(n_cand1)
+                ]
+        _t0 = _trace("float-mode cand redispatch", _t0)
 
     # ---- speculative auto-delta decision (no-lookback chain) ----
     # Stage-1 chains (orders 0..STAGE1_ORDERS) break there for almost all
@@ -1340,9 +1486,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         for ci, cn in enumerate(chunk_ns):
             if not mode_is_host[ci] and delta_spans[ci][1] < 2:
                 a, m = delta_spans[ci]
-                sample = _delta_samples()[a : a + m]
-                if ci in int_bases:
-                    sample = sample // np.uint64(int_bases[ci])
+                sample = _host_primary_sample(ci, _delta_samples()[a : a + m])
                 delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
                     sample.astype(lt.np_dtype), cn, int(ubls[ci]), lt
                 )
@@ -1374,11 +1518,18 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
                 lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
                 kw = {}
-                if any(ci in int_bases for ci in cis):
+                if any(ci in prim_bases for ci in cis):
                     kw = dict(
                         bases=jnp.asarray(np.array(
-                            [int_bases.get(ci, 1) for ci in cis], np.uint64)),
+                            [prim_bases.get(ci, 1) for ci in cis], np.uint64)),
                         has_bases=True,
+                    )
+                if any(ci in fmult_map for ci in cis):
+                    kw.update(
+                        fmult_invb=jnp.asarray(np.array(
+                            [fmult_map.get(ci, (0, 0))[0] for ci in cis],
+                            np.uint64)),
+                        f_params=f_params,
                     )
                 devs = _phase_delta_candidates(
                     delta_s_dev, jnp.asarray(starts_g),
@@ -1411,7 +1562,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
     for ci, cn in enumerate(chunk_ns):
         if mode_is_host[ci]:
-            continue  # IntMult/FloatMult/FloatQuant: host pipeline
+            continue  # never set on the auto paths today; kept for
+            # future Try* specs that pin a host-only mode
         if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
             enc = delta_encs[ci]
         elif config.delta_spec.kind == cmp.DeltaSpec.NO_OP:
@@ -1434,14 +1586,19 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         spec_ph2 is not None
         and np.array_equal(spec_hint["orders"], orders)
         and np.array_equal(spec_hint["live"], live)
-        and spec_hint["bases"] == int_bases
+        and spec_hint["bases"] == prim_bases
+        and spec_hint["flips"] == frozenset(quant_ks)
+        and spec_hint["fmult"] == fmult_map
     )
     ph2 = (
         spec_ph2 if use_spec
-        else _dispatch_phase2_impl(ph2_ctx, orders, live, int_bases)
+        else _dispatch_phase2_impl(ph2_ctx, orders, live, prim_bases,
+                                   frozenset(quant_ks), fmult_map)
     )
     _SPEC_HINTS[hint_key] = {
-        "orders": orders.copy(), "live": live.copy(), "bases": dict(int_bases),
+        "orders": orders.copy(), "live": live.copy(),
+        "bases": dict(prim_bases), "flips": frozenset(quant_ks),
+        "fmult": dict(fmult_map),
     }
     if len(_SPEC_HINTS) > 16:
         _SPEC_HINTS.clear()
@@ -1487,9 +1644,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
         def _lb_cost(ci):
             a, dn = delta_spans[ci]
-            sample = ds[a : a + dn]
-            if ci in int_bases:
-                sample = sample // np.uint64(int_bases[ci])
+            sample = _host_primary_sample(ci, ds[a : a + dn])
             penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
             return cmp.lookback_cost_from_sample(
                 sample.astype(lt.np_dtype), int(ubls[ci]),
@@ -1549,7 +1704,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     start = 0
     for ci, cn in enumerate(chunk_ns):
         if encs[ci] is None:
-            # host pipeline for this chunk (IntMult / lookback / fallback)
+            # host pipeline for this chunk (lookback winner / fallback)
             chunk_config = ChunkConfig(
                 compression_level=level,
                 mode_spec=config.mode_spec,
@@ -1565,7 +1720,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         order = int(orders[ci])
         nr = int(nreal[ci])
         nb_log = int(ubls[ci])
-        is_im = ci in int_bases
+        has_sec = ci in prim_bases or ci in fmult_map
         trained = _train_from_histogram(hist_bins[ci], nr, nb_log, lt)
         bins = cmp.bins_from_infos(trained.infos, lt)
         lvc = cmp.LatentVarCompressor(trained, bins, None)
@@ -1573,9 +1728,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         lvcs_pv = PerLatentVar(None, lvc, None)
         counts = PerLatentVar(None, trained.counts, None)
         mode = Mode(Mode.CLASSIC)
-        if is_im:
-            # IntMult: secondary var (latent % base) trained from its own
-            # device walk; NOOP delta (auto never sets secondary_uses_delta)
+        if has_sec:
+            # IntMult / FloatQuant: secondary (adjustment) var trained from
+            # its own device walk; NOOP delta (auto never sets
+            # secondary_uses_delta)
             ubl_sec = min(nb_log, c.LIMITED_UNOPTIMIZED_BINS_LOG)
             trained_s = _train_from_histogram(sec_bins[ci], cn, ubl_sec, lt)
             bins_s = cmp.bins_from_infos(trained_s.infos, lt)
@@ -1587,11 +1743,19 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             )
             lvcs_pv = PerLatentVar(None, lvc, lvc_s)
             counts = PerLatentVar(None, trained.counts, trained_s.counts)
-            mode = Mode(Mode.INT_MULT, int_bases[ci])
+            if ci in quant_ks:
+                mode = Mode(Mode.FLOAT_QUANT, quant_ks[ci])
+            elif ci in fmult_bases:
+                base_ = fmult_bases[ci][0]
+                mode = Mode(Mode.FLOAT_MULT, int(
+                    nt.to_latent_ordered(
+                        np.array([base_], nt.np_dtype))[0]))
+            else:
+                mode = Mode(Mode.INT_MULT, int_bases[ci])
         meta = cmp.ChunkMeta(mode, encs[ci], var_metas, nt.latent)
         page_infos = _device_page_infos(
             pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt,
-            has_secondary=is_im,
+            has_secondary=has_sec,
         )
         cand = cmp.ChunkCompressor(meta, lvcs_pv, page_infos)
         if cand.should_fallback(nt.latent, cn, counts):
@@ -1605,7 +1769,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         start += cn
 
         var_list = [("primary", lvc, bins, order, ci * rows_per_chunk, dev_rows)]
-        if is_im:
+        if has_sec:
             var_list.append(
                 ("secondary", lvc_s, bins_s, 0, sec_row_of[ci], sec_rows_dev)
             )
@@ -1636,7 +1800,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             jobs_out.append((key, {
                 "ci": ci, "cc": ccs[ci], "tables": (nexts, lowers, t1, t2, ts),
                 "b": b, "max_ob": max_ob, "var": var,
-                "rkey": (ci, var) if is_im else ci,
+                "rkey": (ci, var) if has_sec else ci,
                 "dev": {"row_start": row_start, "order": v_order,
                         "n_pages": len(pages_per_chunk[ci]), "src": src},
             }))

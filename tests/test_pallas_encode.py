@@ -115,11 +115,11 @@ class TestDeviceTrainPlan:
         planned = plan_encode_device(
             np.cumsum(rng.integers(0, 120, 100_000)).astype(np.int64), None, 256, 131072)
         assert planned is not None
-        # FloatMult winners route each chunk to the host pipeline
+        # FloatMult winners stay on device too (softfloat split)
         decimal = (rng.integers(0, 10000, 100_000) * 0.01).astype(np.float64)
         planned = plan_encode_device(decimal, None, 256, 131072)
         assert planned is not None
-        assert all(kind == "host" for kind, _ in planned[3])
+        assert all(kind == "device" for kind, _ in planned[3])
         # ragged degenerate tail falls back entirely
         assert plan_encode_device(
             np.arange(131072 + 3, dtype=np.int64), None, 256, 131072) is None
@@ -153,6 +153,78 @@ class TestDeviceTrainPlan:
                 host_cc = cmp.chunk_compressor(nt, x[start : start + cn], cfg)
                 start += cn
                 assert host_cc.meta.mode.kind == "int_mult"
+                kind, _ = chunk_jobs[ci]
+                assert kind == "device"
+                wd, wh = BitWriter(), BitWriter()
+                ccs[ci].write_meta(wd)
+                host_cc.write_meta(wh)
+                assert wd.to_bytes() == wh.to_bytes(), ci
+
+    def test_floatquant_device_meta_matches_host(self):
+        """FloatQuant winners stay on device: primary (ordered >> k) +
+        secondary (low-k bits, negative flip) split, auction tie order
+        matching choose_mode_and_split (float.rs:83-134)."""
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(31)
+        cases = [
+            # f16-quantized f32: k=13 low zero bits, mixed signs
+            rng.normal(0, 1, 262144).astype(np.float16).astype(np.float32),
+            # f16-quantized f64 random walk: delta decision on primary
+            np.cumsum(rng.normal(0, 1, 262144)).astype(np.float16).astype(np.float64),
+            # f32-representable f64: k=29
+            (rng.normal(0, 1, 262144).astype(np.float32) * np.float32(0.5)
+             ).astype(np.float64),
+        ]
+        for x in cases:
+            planned = plan_encode_device(x, None, 256, 131072)
+            assert planned is not None
+            nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+            start = 0
+            for ci, cn in enumerate(chunk_ns):
+                cfg = ChunkConfig(
+                    paging_spec=PagingSpec.exact_pages([256] * (cn // 256)))
+                host_cc = cmp.chunk_compressor(nt, x[start : start + cn], cfg)
+                start += cn
+                assert host_cc.meta.mode.kind == "float_quant"
+                kind, _ = chunk_jobs[ci]
+                assert kind == "device"
+                wd, wh = BitWriter(), BitWriter()
+                ccs[ci].write_meta(wd)
+                host_cc.write_meta(wh)
+                assert wd.to_bytes() == wh.to_bytes(), ci
+
+    def test_floatmult_device_meta_matches_host(self):
+        """FloatMult winners stay on device: softfloat split (ops/softfloat)
+        reproduces the host's numpy float arithmetic bit-for-bit, so the
+        planned metadata matches the host pipeline's byte-identically
+        (mode/float_mult.rs split_latents)."""
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(37)
+        cases = [
+            # decimal cents: base 0.01, mixed magnitudes
+            (rng.integers(-500000, 500000, 262144) * 0.01).astype(np.float64),
+            # f32 decimals (non-dyadic base so FloatMult outbids FloatQuant)
+            (rng.integers(-5000, 5000, 262144) * 0.1).astype(np.float32),
+        ]
+        for x in cases:
+            planned = plan_encode_device(x, None, 256, 131072)
+            assert planned is not None
+            nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+            start = 0
+            for ci, cn in enumerate(chunk_ns):
+                cfg = ChunkConfig(
+                    paging_spec=PagingSpec.exact_pages([256] * (cn // 256)))
+                host_cc = cmp.chunk_compressor(nt, x[start : start + cn], cfg)
+                start += cn
+                assert host_cc.meta.mode.kind == "float_mult"
                 kind, _ = chunk_jobs[ci]
                 assert kind == "device"
                 wd, wh = BitWriter(), BitWriter()
@@ -199,6 +271,23 @@ class TestDeviceTrain:
         # exact multiples: the secondary var is trivial (no body bits)
         self._dt((RNG.integers(0, 10000, 200_000) * 8).astype(np.int64))
 
+    def test_floatquant_device_two_var(self):
+        # FloatQuant chunks encode on device: primary (ordered >> k) +
+        # secondary (low-k bits with negative-sign flip) kernel streams
+        rng = np.random.default_rng(31)
+        self._dt(rng.normal(0, 1, 200_000).astype(np.float16).astype(np.float32))
+        self._dt(np.cumsum(rng.normal(0, 1, 200_000))
+                 .astype(np.float16).astype(np.float64))
+
+    def test_floatmult_device_two_var(self):
+        # FloatMult chunks encode on device: the integer softfloat split
+        # (ops/softfloat.py) feeds the primary + adjustment kernel streams
+        rng = np.random.default_rng(37)
+        self._dt((rng.integers(-500000, 500000, 200_000) * 0.01)
+                 .astype(np.float64))
+        self._dt((rng.integers(-5000, 5000, 200_000) * 0.1)
+                 .astype(np.float32))
+
     def test_trivial_constant(self):
         self._dt(np.full(200_000, 42, dtype=np.int64))
 
@@ -213,8 +302,7 @@ class TestDeviceTrain:
 
     def test_float_classic_device_train(self):
         # classic-mode floats ride the device pipeline (integer bijection);
-        # FloatMult/FloatQuant winners route to the host pipeline, all
-        # byte-identical
+        # FloatMult winners route to the host pipeline, all byte-identical
         rng = np.random.default_rng(21)
         self._dt(rng.normal(0, 1, 150_000).astype(np.float64))
         self._dt(rng.normal(0, 1, 150_000).astype(np.float32))
