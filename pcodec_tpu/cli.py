@@ -207,6 +207,16 @@ def _bench_codecs(config):
             lambda nums: bz2.compress(nums.tobytes(), 9),
             lambda data, dtype: np.frombuffer(bz2.decompress(data), dtype=dtype),
         ),
+        # the reference's frozen predecessor, behind `full_bench` there
+        # (ref: pco_cli/src/bench/codecs/qcompress.rs)
+        "qco": (
+            lambda nums: __import__(
+                "pcodec_tpu.legacy", fromlist=["auto_compress"]
+            ).auto_compress(nums, level=config.compression_level),
+            lambda data, dtype: __import__(
+                "pcodec_tpu.legacy", fromlist=["auto_decompress"]
+            ).auto_decompress(data)[0],
+        ),
     }
 
 
