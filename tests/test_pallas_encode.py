@@ -197,6 +197,34 @@ class TestDeviceTrainPlan:
                 host_cc.write_meta(wh)
                 assert wd.to_bytes() == wh.to_bytes(), ci
 
+    def test_float_specials_meta_matches_host(self):
+        """NaN/inf/-0.0/subnormal values outside the decision sample flow
+        through the device softfloat split; trained metadata must stay
+        byte-identical to the host pipeline."""
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(99)
+        x = (rng.integers(-500000, 500000, 131072) * 0.01).astype(np.float64)
+        x[7] = np.nan
+        x[1000] = np.inf
+        x[2000] = -np.inf
+        x[3000] = -0.0
+        x[4000] = 5e-324
+        planned = plan_encode_device(x, None, 256, 131072)
+        assert planned is not None
+        nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+        cfg = ChunkConfig(
+            paging_spec=PagingSpec.exact_pages([256] * (chunk_ns[0] // 256)))
+        host_cc = cmp.chunk_compressor(nt, x[: chunk_ns[0]], cfg)
+        assert host_cc.meta.mode.kind == "float_mult"
+        wd, wh = BitWriter(), BitWriter()
+        ccs[0].write_meta(wd)
+        host_cc.write_meta(wh)
+        assert wd.to_bytes() == wh.to_bytes()
+
     def test_floatmult_device_meta_matches_host(self):
         """FloatMult winners stay on device: softfloat split (ops/softfloat)
         reproduces the host's numpy float arithmetic bit-for-bit, so the
@@ -287,6 +315,19 @@ class TestDeviceTrain:
                  .astype(np.float64))
         self._dt((rng.integers(-5000, 5000, 200_000) * 0.1)
                  .astype(np.float32))
+
+    def test_float_specials_device_two_var(self):
+        # NaN/inf/-0.0/subnormals outside the sample must split bit-exactly
+        # through the softfloat (x86 NaN quieting, signed zeros, underflow)
+        rng = np.random.default_rng(99)
+        x = (rng.integers(-500000, 500000, 200_000) * 0.01).astype(np.float64)
+        x[7] = np.nan
+        x[1000] = np.inf
+        x[2000] = -np.inf
+        x[3000] = -0.0
+        x[4000] = 5e-324
+        self._dt(x)
+        self._dt(rng.normal(0, 1, 200_000).astype(np.float16))
 
     def test_trivial_constant(self):
         self._dt(np.full(200_000, 42, dtype=np.int64))
