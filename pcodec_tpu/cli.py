@@ -236,6 +236,11 @@ def cmd_bench(args):
     unknown = [c for c in codecs if c not in surfaces]
     if unknown:
         raise SystemExit(f"unknown codecs {unknown}; available: {sorted(surfaces)}")
+    print(
+        "note: reference bench codecs zstd/snappy/parquet are unavailable in "
+        "this environment; comparing against zlib/lzma/bz2/qco instead",
+        file=sys.stderr,
+    )
 
     rows = []
     for codec in codecs:

@@ -64,7 +64,7 @@ class QcoType:
     bijection + signed delta space (ref: data_types/mod.rs NumberLike)."""
 
     def __init__(self, name, header_byte, raw_bits, u_bits, kind,
-                 signed_raw_bits=None):
+                 signed_raw_bits=None, ts_min=None):
         self.name = name
         self.header_byte = header_byte
         self.raw_bits = raw_bits          # PHYSICAL_BITS
@@ -72,6 +72,8 @@ class QcoType:
         self.kind = kind                  # int|uint|float|bool|ts96
         # PHYSICAL_BITS of the Signed delta type (i128 for ts96)
         self.signed_raw_bits = signed_raw_bits or u_bits
+        # 96-bit timestamps bias their raw encoding by the type's MIN parts
+        self.ts_min = ts_min
 
     # --- number <-> raw wire bits (big-endian, raw_bits wide) ---
     def num_to_raw(self, x):
@@ -80,7 +82,7 @@ class QcoType:
             return x & mask
         if self.kind == "ts96":
             # raw = (parts - MIN) as u96 (timestamps_96.rs to_bytes)
-            return (x - TS96_MIN) & ((1 << 96) - 1)
+            return (x - self.ts_min) & ((1 << 96) - 1)
         return x  # uint/float-bits/bool already raw
 
     def raw_to_num(self, r):
@@ -88,7 +90,7 @@ class QcoType:
         if self.kind == "int":
             return r - (1 << b) if r >= (1 << (b - 1)) else r
         if self.kind == "ts96":
-            return r + TS96_MIN
+            return r + self.ts_min
         if self.kind == "bool":
             return 1 if r else 0
         return r
@@ -161,14 +163,13 @@ for _t in [
     QcoType("i16", 13, 16, 16, "int"),
     QcoType("timestamp_nanos", 14, 64, 64, "int"),
     QcoType("timestamp_micros", 15, 64, 64, "int"),
-    QcoType("timestamp_micros96", 9, 96, 128, "ts96", signed_raw_bits=128),
+    QcoType("timestamp_micros96", 9, 96, 128, "ts96", signed_raw_bits=128,
+            ts_min=TS96_MIN),
+    QcoType("timestamp_nanos96", 8, 96, 128, "ts96", signed_raw_bits=128,
+            ts_min=TS96_NANOS_MIN),
 ]:
     TYPES[_t.name] = _t
 HEADER_BYTE_TO_TYPE = {t.header_byte: t for t in TYPES.values()}
-# ts96 nanos shares kind but a different MIN; only micros96 has a pinned asset
-TYPES["timestamp_nanos96"] = QcoType(
-    "timestamp_nanos96", 8, 96, 128, "ts96", signed_raw_bits=128)
-HEADER_BYTE_TO_TYPE[8] = TYPES["timestamp_nanos96"]
 
 NP_DTYPES = {
     "i64": np.int64, "u64": np.uint64, "i32": np.int32, "u32": np.uint32,
@@ -176,10 +177,6 @@ NP_DTYPES = {
     "u16": np.uint16, "i16": np.int16,
     "timestamp_nanos": np.int64, "timestamp_micros": np.int64,
 }
-
-
-def _ts96_min(dtype: QcoType):
-    return TS96_NANOS_MIN if dtype.name == "timestamp_nanos96" else TS96_MIN
 
 
 # ---------------------------------------------------------------------------
