@@ -589,13 +589,64 @@ def _run_launch_device(schema: EncSchema, latlo, lathi, tables, bodyn, states0, 
 
 
 
-def _build_and_run_launches(groups, jit_cache=None, dev_rows=None):
+def _shardify_launch(mesh, schema, dev_args):
+    """Wrap one launch as a shard_map over the tile axis (SURVEY §5 encode
+    scale-out): every device runs the EB/EC kernels on its own tile shard;
+    chunk tables (KB-scale) replicate; per-shard sections/lengths gather
+    back sharded. Returns (jitted runner, trim) where trim restores the
+    unpadded tile count."""
+    import jax
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is not None:
+        shard_map = partial(shard_map, check_vma=False)
+    else:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = partial(_sm, check_rep=False)
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    latlo, lathi, tables, bodyn, states0, tbl_ids = dev_args
+    T = latlo.shape[0]
+    pad = (-T) % nd
+
+    def padt(a):
+        # replicate the last tile: always-valid rows whose outputs are
+        # trimmed (zero-padding would feed tbl_id 0 with foreign states)
+        if pad == 0:
+            return a
+        return jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+
+    dev_args = (padt(latlo), padt(lathi), tables, padt(bodyn),
+                padt(states0), padt(tbl_ids))
+
+    sharded = P(axis)
+    step = shard_map(
+        partial(_run_launch_device, schema),
+        mesh=mesh,
+        in_specs=(sharded, sharded, P(), sharded, sharded, sharded),
+        out_specs=(sharded, sharded, sharded, sharded, sharded),
+    )
+
+    def trim(outs):
+        sections, fstates, ans_len, off_len, total_bits = outs
+        C = T * TILE_CHAINS
+        return (sections[:T], fstates[:T], ans_len[:C], off_len[:C],
+                total_bits[:C])
+
+    return jax.jit(step), dev_args, trim
+
+
+def _build_and_run_launches(groups, jit_cache=None, dev_rows=None,
+                            shard_mesh=None):
     """Build device inputs per launch group and run EB+EC. Returns
     {ci: outputs} plus per-launch (schema, device args, jitted fn).
 
     Jobs from the device-train planner (ops/device_train.py) carry a "dev"
     entry referencing page rows already on the device (dev_rows); those skip
-    the host row building and upload entirely."""
+    the host row building and upload entirely. shard_mesh runs every launch
+    under shard_map over the tile axis (see _shardify_launch)."""
     results = {}
     launch_handles = []
     for key, jobs in groups.items():
@@ -680,11 +731,17 @@ def _build_and_run_launches(groups, jit_cache=None, dev_rows=None):
         bodyn = _dense_quad_dev(jnp.asarray(bodyn_all))
         states0 = _dense_quad_dev(jnp.asarray(states0_all))
 
-        run = jax.jit(partial(_run_launch_device, schema))
         dev_args = (latlo, lathi, jnp.asarray(tables.astype(np.int32)), bodyn,
                     states0, jnp.asarray(np.asarray(tbl_ids, dtype=np.int32)))
-        launch_handles.append((schema, run, dev_args))
-        sections, fstates, ans_len, off_len, total_bits = run(*dev_args)
+        if shard_mesh is not None:
+            run, dev_args, trim = _shardify_launch(shard_mesh, schema, dev_args)
+            launch_handles.append((schema, run, dev_args))
+            sections, fstates, ans_len, off_len, total_bits = trim(
+                run(*dev_args))
+        else:
+            run = jax.jit(partial(_run_launch_device, schema))
+            launch_handles.append((schema, run, dev_args))
+            sections, fstates, ans_len, off_len, total_bits = run(*dev_args)
 
         sec_np = np.asarray(sections)  # (T, 32, 8, SEC)
         fst_np = np.asarray(fstates)  # (T, 8, 128)
@@ -775,7 +832,7 @@ def _plan_encode(nums, config, page_n, chunk_n):
 
 
 def encode_container_device(nums, config=None, page_n: int = 1024,
-                            chunk_n: int = 1 << 20):
+                            chunk_n: int = 1 << 20, shard_mesh=None):
     """Container encode with device dissection + bit packing.
 
     Host: mode/delta selection, latent split + delta (numpy), bin training
@@ -808,7 +865,8 @@ def encode_container_device(nums, config=None, page_n: int = 1024,
         nt, chunk_ns, ccs, chunk_jobs, groups = _plan_encode(nums, config, page_n, chunk_n)
 
     # ---- build + run launches ----
-    results, _ = _build_and_run_launches(groups, dev_rows=dev_rows)
+    results, _ = _build_and_run_launches(groups, dev_rows=dev_rows,
+                                         shard_mesh=shard_mesh)
 
     # ---- assemble the container file (host) ----
     fc = FileCompressor()

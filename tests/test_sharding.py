@@ -49,3 +49,19 @@ def test_sharded_container_scatter_decode_bit_exact():
 def test_mesh_shapes():
     mesh = make_mesh(jax.devices()[:8])
     assert mesh.devices.size == 8
+
+
+@needs_mesh
+def test_sharded_container_encode_bit_exact():
+    # SURVEY §5 encode half: EB/EC kernels run per-device on page-tile
+    # shards; gathered sections assemble to the exact single-device bytes
+    from pcodec_tpu.codec.container import container_compress
+    from pcodec_tpu.parallel.sharding import make_mesh, sharded_container_encode
+
+    rng = np.random.default_rng(11)
+    x = np.cumsum(rng.integers(0, 120, 20000)).astype(np.int64)
+    ref = container_compress(x, None, page_n=256, chunk_n=8192)
+    enc, stats = sharded_container_encode(x, None, make_mesh(), page_n=256,
+                                          chunk_n=8192)
+    assert stats["device_chunks"] == 3
+    assert enc == ref
