@@ -207,6 +207,16 @@ def _bench_codecs(config):
             lambda nums: bz2.compress(nums.tobytes(), 9),
             lambda data, dtype: np.frombuffer(bz2.decompress(data), dtype=dtype),
         ),
+        # wrapped multi-page container, the analog of the reference's
+        # `pcopage` bench codec (ref: pco_cli/src/bench/codecs/pcopage.rs)
+        "pct": (
+            lambda nums: __import__(
+                "pcodec_tpu.codec.container", fromlist=["container_compress"]
+            ).container_compress(nums, config),
+            lambda data, dtype: __import__(
+                "pcodec_tpu.codec.container", fromlist=["container_decompress"]
+            ).container_decompress(data),
+        ),
         # the reference's frozen predecessor, behind `full_bench` there
         # (ref: pco_cli/src/bench/codecs/qcompress.rs)
         "qco": (
