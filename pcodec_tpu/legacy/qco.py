@@ -25,7 +25,7 @@ quantile-compression/q_compress/assets/ (tests/test_qco.py).
 import heapq
 import math
 from itertools import accumulate
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -34,7 +34,7 @@ from pcodec_tpu.binning import sampling
 from pcodec_tpu.binning.histogram import _Builder, HistogramBin
 from pcodec_tpu.codec.chunk_config import ChunkConfig, ModeSpec, PagingSpec
 from pcodec_tpu.codec import compress as cmp
-from pcodec_tpu.dtypes import LATENT_TYPES, NumberType
+from pcodec_tpu.dtypes import NumberType
 from pcodec_tpu.format.metadata import DeltaEncoding, Mode, PerLatentVar
 from pcodec_tpu.modes import int_mult
 from pcodec_tpu.ops import softfloat
