@@ -75,9 +75,9 @@ _SPEC_HINTS: Dict[tuple, dict] = {}
 
 def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: int) -> bool:
     """Chunks the device-train path covers; everything else falls back to the
-    host pipeline (same output, slower). Floats are covered when Classic wins
-    the mode auction (FloatMult/FloatQuant splits stay host: multi-latent-var
-    output and softfloat arithmetic)."""
+    host pipeline (same output, slower). Every auto-mode winner is covered:
+    Classic, IntMult (// base), FloatQuant (>> k with sign flip), and
+    FloatMult (integer softfloat split, ops/softfloat.py)."""
     if config.mode_spec.kind not in (ModeSpec.AUTO, ModeSpec.CLASSIC):
         return False
     if config.delta_spec.kind not in (
