@@ -175,6 +175,7 @@ class PageDecompressor:
         self.n = n
         self.n_remaining = n
         page_meta = PageMeta.read_from(reader, chunk_meta)
+        self.page_meta = page_meta  # raw stored states (pre window expansion)
 
         self.clds = PerLatentVar()
         self.plds = PerLatentVar()

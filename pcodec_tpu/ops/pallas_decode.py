@@ -533,6 +533,10 @@ class VarPlan:
     bias: int = 0  # u64 subtracted from lowers when lat32
     lat32: bool = False
     moments: Optional[np.ndarray] = None  # (n_pages, state_n) u64
+    # standalone lookback: chains are an artificial split of ONE page, so
+    # reconstruction runs on the flattened chain stream with the single
+    # page-meta window state in moments[0]
+    flat_lookback: bool = False
 
 
 @dataclass
@@ -983,7 +987,10 @@ def plan_standalone(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
         de = meta.delta_encoding
         supported = de.kind in (
             DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE, DeltaEncoding.CONV1,
+            DeltaEncoding.LOOKBACK,
         ) and n > 0
+        if de.kind == DeltaEncoding.LOOKBACK and de.state_n > 32:
+            supported = False  # device path holds window state in 32 lanes
         if meta.mode.kind == Mode.FLOAT_MULT and not float_mult_f64_device_ok(meta, nt):
             supported = False
 
@@ -1029,6 +1036,14 @@ def plan_standalone(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
                         seg = work[1024 * r : 1024 * r + k].astype(np.uint64)
                         moments[r, : len(seg)] = seg
                     m0_stream = moments[:, 0]
+                elif de_v.kind == DeltaEncoding.LOOKBACK:
+                    # one page -> one stored window state (state_n latents,
+                    # NOT the expanded runtime ring); chains reconstruct flat
+                    moments = np.asarray(
+                        pd.page_meta.per_latent_var.get(key).delta_state,
+                        dtype=np.uint64,
+                    ).reshape(1, -1)
+                    m0_stream = np.zeros(n_chains, dtype=np.uint64)
                 else:
                     moments = np.zeros((n_chains, 0), dtype=np.uint64)
                     m0_stream = np.zeros(n_chains, dtype=np.uint64)
@@ -1039,6 +1054,7 @@ def plan_standalone(data: bytes, max_fetch_blocks: int = 4) -> DecodePlan:
                     const_lower=int(bins.lowers[0]) if len(bins) else 0,
                     state_n=state_n,
                     moments=moments,
+                    flat_lookback=de_v.kind == DeltaEncoding.LOOKBACK,
                 )
                 cp.var_plans[key] = vp
                 if vp.trivial:
@@ -1209,13 +1225,22 @@ def _reconstruct_var(cp: ChunkPlan, vp: VarPlan, latents, delta_latents, nt: Num
         moments = jnp.asarray(vp.moments.astype(np.uint64))
         return _consecutive_decode_batched(latents, moments, de.order, bits)
     if de.kind == DeltaEncoding.LOOKBACK:
-        momentsw = np.zeros((cp.n_pages, 32), dtype=np.uint64)
-        momentsw[:, : vp.moments.shape[1]] = vp.moments
         f = jax.vmap(
             lambda lat, lb, st: xops._lookback_decode(
                 lat, lb, st, jnp.int64(de.window_n), de.state_n, bits
             )
         )
+        if vp.flat_lookback:
+            # standalone chains: the chunk is ONE page split into synthetic
+            # 1024-chains; reconstruct on the flat stream, then restore the
+            # chain layout for the downstream trim
+            st = np.zeros((1, 32), dtype=np.uint64)
+            st[0, : vp.moments.shape[1]] = vp.moments
+            out = f(latents.reshape(1, -1), delta_latents.reshape(1, -1),
+                    jnp.asarray(st))
+            return out.reshape(latents.shape)
+        momentsw = np.zeros((cp.n_pages, 32), dtype=np.uint64)
+        momentsw[:, : vp.moments.shape[1]] = vp.moments
         return f(latents, delta_latents, jnp.asarray(momentsw))
     # conv1
     aux = np.zeros(36, dtype=np.int64)

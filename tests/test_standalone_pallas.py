@@ -94,9 +94,21 @@ class TestStandaloneDevice:
         nums = (1000 * np.sin(t * 0.01) + RNG.standard_normal(6000)).astype(np.int32)
         _roundtrip(nums, ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONV1, 4)))
 
-    def test_lookback_falls_back(self):
+    def test_lookback_device(self):
+        # lookback chunks ride the device chains too: pre-delta latents +
+        # lookbacks decode in the kernels, reconstruction runs flat on the
+        # chunk (chains are an artificial split of the single page)
         nums = np.tile(RNG.integers(0, 1000, 64).astype(np.int64), 100)
-        _roundtrip(nums, ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_LOOKBACK)))
+        blob = _roundtrip(
+            nums, ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_LOOKBACK)))
+        from pcodec_tpu.ops.pallas_decode import plan_standalone
+
+        plan = plan_standalone(blob)
+        assert all(c.fallback is None for c in plan.chunks)
+        # ragged tail + multi-chunk
+        pat = np.tile(RNG.integers(0, 10**6, 512).astype(np.int64), 30)
+        _roundtrip(pat[: len(pat) - 100],
+                   ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_LOOKBACK)))
 
     def test_constant_and_tiny(self):
         _roundtrip(np.full(6000, 42, dtype=np.int64))
