@@ -175,7 +175,18 @@ def cmd_inspect(args):
 
     with open(args.input, "rb") as f:
         data = f.read()
-    print(format_report(inspect_file(data), verbose=args.verbose))
+    report = inspect_file(data)
+    if getattr(args, "json", False):
+        # serializable output like the reference's Serialize derives
+        # (ref: pco_cli/src/inspect/handler.rs:24-110)
+        import dataclasses
+        import json as _json
+
+        d = dataclasses.asdict(report)
+        d["ratio"] = report.ratio
+        print(_json.dumps(d, default=str, indent=1))
+    else:
+        print(format_report(report, verbose=args.verbose))
 
 
 def _bench_codecs(config):
@@ -329,6 +340,8 @@ def main(argv=None):
     sp = sub.add_parser("inspect", help="dump .pco file structure")
     sp.add_argument("input")
     sp.add_argument("-v", "--verbose", action="store_true")
+    sp.add_argument("--json", action="store_true",
+                    help="machine-readable report")
     sp.set_defaults(fn=cmd_inspect)
 
     sp = sub.add_parser("bench", help="codec benchmark (median of iters)")
