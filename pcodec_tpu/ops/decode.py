@@ -575,17 +575,14 @@ def _join(nt: NumberType, mode_kind: str, mode_scalar, dict_vals, primary, secon
         mid = jnp.uint64(1 << (bits - 1))
         if bits == 64:
             # integer-exact softfloat multiply: TPU f64 is not bit-faithful
-            # and the X64 rewriter rejects f64-involved bitcasts here
-            # (planner gates chunks on float_mult_f64_device_ok)
-            from pcodec_tpu.ops import pallas_decode as _pd
+            # and the X64 rewriter rejects f64-involved bitcasts here. The
+            # general IEEE mul covers subnormal products and any multiplier.
+            from pcodec_tpu.ops import softfloat as sf
 
-            l = primary & mask
-            neg = l < mid
-            abs_int = jnp.where(neg, (mid - jnp.uint64(1)) - l, l - mid)
             base_bits = _from_latent_ordered_u(nt, mode_scalar)
-            unadj_mem = _pd._softfloat_mul_int_f64(abs_int, neg, base_bits)
-            unadj_neg = (unadj_mem >> jnp.uint64(63)) == 1
-            unadj_lat = jnp.where(unadj_neg, ~unadj_mem, unadj_mem ^ mid)
+            mult_bits = sf.int_float_latent_to_bits(primary & mask, 64, 11, 53)
+            unadj_mem = sf.sf_mul_bits(mult_bits, base_bits, 64, 11, 53)
+            unadj_lat = sf.ordered_from_bits(unadj_mem, 64)
             u_latent = (unadj_lat + (secondary & mask) + mid) & mask
         else:
             base_bits = _from_latent_ordered_u(nt, mode_scalar)

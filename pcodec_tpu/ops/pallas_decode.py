@@ -1257,94 +1257,18 @@ def _reconstruct_var(cp: ChunkPlan, vp: VarPlan, latents, delta_latents, nt: Num
 
 
 
-def _msb_pos_u64(x):
-    """floor(log2(x)) for x > 0, integer-only."""
-    pos = jnp.zeros(x.shape, jnp.uint64)
-    for k in (32, 16, 8, 4, 2, 1):
-        big = (x >> jnp.uint64(k)) > 0
-        x = jnp.where(big, x >> jnp.uint64(k), x)
-        pos = pos + jnp.where(big, jnp.uint64(k), jnp.uint64(0))
-    return pos
-
-
-def _mul_128(a, b):
-    """full 128-bit product of u64 a,b (each < 2^53) -> (hi, lo) u64."""
-    m32 = jnp.uint64(0xFFFFFFFF)
-    ah, al = a >> jnp.uint64(32), a & m32
-    bh, bl = b >> jnp.uint64(32), b & m32
-    ll = al * bl
-    lh = al * bh
-    hl = ah * bl
-    hh = ah * bh
-    mid = lh + hl + (ll >> jnp.uint64(32))  # < 2^63, no overflow for 53-bit inputs
-    lo = (ll & m32) | (mid << jnp.uint64(32))
-    hi = hh + (mid >> jnp.uint64(32))
-    return hi, lo
-
-
-def _softfloat_mul_int_f64(abs_int, neg, base_bits):
-    """IEEE-754 round-to-nearest-even product bits of (+-abs_int) * base,
-    entirely in u64 integer ops (TPU f64 is not bit-faithful).
-
-    Preconditions (checked by the planner): 0 < abs_int < 2^52 possible
-    (abs_int == 0 handled); base normal and large enough that the product
-    cannot be subnormal; overflow to inf is handled.
-    ref: mode/float_mult.rs join = mult * base in the number's own float.
-    """
-    sb = base_bits >> jnp.uint64(63)
-    eb = (base_bits >> jnp.uint64(52)) & jnp.uint64(0x7FF)
-    mb = (base_bits & jnp.uint64((1 << 52) - 1)) | jnp.uint64(1 << 52)
-
-    pos = _msb_pos_u64(jnp.maximum(abs_int, jnp.uint64(1)))
-    A = abs_int << (jnp.uint64(52) - pos)
-    hi, lo = _mul_128(A, mb)
-    # P in [2^104, 2^106): top set bit is 104 or 105 (hi bit 40 or 41)
-    big = (hi >> jnp.uint64(41)) > 0
-    shift = jnp.where(big, jnp.uint64(53), jnp.uint64(52))
-    mant = (lo >> shift) | (hi << (jnp.uint64(64) - shift))
-    mant = mant & jnp.uint64((1 << 53) - 1)
-    rbit = (lo >> (shift - jnp.uint64(1))) & jnp.uint64(1)
-    sticky = (lo & ((jnp.uint64(1) << (shift - jnp.uint64(1))) - jnp.uint64(1))) != 0
-    round_up = (rbit == 1) & (sticky | ((mant & jnp.uint64(1)) == 1))
-    mant = mant + jnp.where(round_up, jnp.uint64(1), jnp.uint64(0))
-    carry = mant >> jnp.uint64(53)
-    mant = jnp.where(carry > 0, mant >> jnp.uint64(1), mant)
-    exp = (
-        pos.astype(jnp.int64)
-        + eb.astype(jnp.int64)
-        - 1023
-        + jnp.where(big, 1, 0)
-        + carry.astype(jnp.int64)
-        + 1023
-    )
-    sign = jnp.where(neg, jnp.uint64(1) ^ sb, sb) << jnp.uint64(63)
-    inf = exp >= 2047
-    bits = sign | (exp.astype(jnp.uint64) << jnp.uint64(52)) | (mant & jnp.uint64((1 << 52) - 1))
-    bits = jnp.where(inf, sign | (jnp.uint64(0x7FF) << jnp.uint64(52)), bits)
-    return jnp.where(abs_int == 0, sign, bits)
-
-
 def float_mult_f64_device_ok(meta, nt) -> bool:
-    """Can the FloatMult f64 join run on device (integer-exact softfloat)?"""
+    """Can the FloatMult f64 join run on device? The general integer
+    softfloat (ops/softfloat.py) covers every multiplier and product; only
+    a non-normal base (impossible from the encoder, conceivable in a
+    crafted file) stays on the host."""
     if nt.latent.bits != 64:
         return True
     base_latent = np.uint64(meta.mode.payload)
     mid = np.uint64(1 << 63)
     mem = np.uint64(base_latent ^ mid) if base_latent >= mid else ~np.uint64(base_latent)
-    base = np.frombuffer(np.uint64(mem).tobytes(), dtype=np.float64)[0]
     eb = (int(mem) >> 52) & 0x7FF
-    if eb == 0 or eb == 0x7FF:
-        return False  # subnormal/inf/nan base
-    if eb < 150:  # product could go subnormal for small multipliers
-        return False
-    # multiplier magnitude bound from the primary bins
-    vm = meta.per_latent_var.primary
-    if len(vm.bins) == 0:
-        return True
-    max_lat = int(vm.bins.lowers[-1]) + (1 << int(vm.bins.offset_bits[-1]))
-    mid_i = 1 << 63
-    max_abs = max(abs(max_lat - mid_i), abs(int(vm.bins.lowers[0]) - mid_i)) + 1
-    return max_abs < (1 << 52)
+    return eb != 0 and eb != 0x7FF
 
 _DICT_JOIN_MAX_ENTRIES = 8192  # tree-select cost ~ entries/128 per gather
 
@@ -1450,14 +1374,15 @@ def _join_mem(nt: NumberType, mode_kind, mode_scalar, dict_vals, primary, second
     elif mode_kind == Mode.FLOAT_MULT:
         mid = jnp.uint64(1 << (bits - 1))
         if bits == 64:
-            # integer-exact softfloat multiply (TPU f64 is not bit-faithful)
-            l = primary & mask
-            neg = l < mid
-            abs_int = jnp.where(neg, (mid - jnp.uint64(1)) - l, l - mid)
+            # integer-exact softfloat multiply (TPU f64 is not bit-faithful):
+            # the general IEEE mul in ops/softfloat.py covers subnormal
+            # products, >=2^52 multipliers, and inf/NaN multiplier floats
+            from pcodec_tpu.ops import softfloat as sf
+
             base_bits = xops._from_latent_ordered_u(nt, mode_scalar)
-            unadj_mem = _softfloat_mul_int_f64(abs_int, neg, base_bits)
-            unadj_neg = (unadj_mem >> jnp.uint64(63)) == 1
-            unadj_lat = jnp.where(unadj_neg, ~unadj_mem, unadj_mem ^ mid)
+            mult_bits = sf.int_float_latent_to_bits(primary & mask, 64, 11, 53)
+            unadj_mem = sf.sf_mul_bits(mult_bits, base_bits, 64, 11, 53)
+            unadj_lat = sf.ordered_from_bits(unadj_mem, 64)
             u_latent = (unadj_lat + (secondary & mask) + mid) & mask
         else:
             base_bits = xops._from_latent_ordered_u(nt, mode_scalar)
