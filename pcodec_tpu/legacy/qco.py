@@ -532,6 +532,33 @@ def _decode_unsigneds(r: Reader, prefixes, n):
     if any(e is None for e in table):
         raise _corrupt("incomplete prefix code tree")
 
+    # native fast path (values fit u64; widths > 64 stay pure Python)
+    if all(p.upper_u < (1 << 64) for p in prefixes) and n < (1 << 62):
+        try:
+            from pcodec_tpu.native import kernels as _nk
+        except ImportError:
+            _nk = None
+        if _nk is not None:
+            pidx = {id(p): i for i, p in enumerate(prefixes)}
+            tbl = np.array([pidx[id(e)] for e in table], dtype=np.int32)
+            out_arr, new_pos = _nk.qco_decode_body(
+                r._padded, r.total_bits, r.pos, n, max_depth, tbl,
+                np.array([len(p.code) for p in prefixes], np.int32),
+                np.array([p.lower_u for p in prefixes], np.uint64),
+                np.array([p.gcd for p in prefixes], np.uint64),
+                np.array([p.k for p in prefixes], np.int32),
+                np.array([min(p.min_unambiguous, (1 << 64) - 1)
+                          for p in prefixes], np.uint64),
+                np.array([p.most_significant & ((1 << 64) - 1)
+                          for p in prefixes], np.uint64),
+                np.array([-1 if p.jumpstart is None else p.jumpstart
+                          for p in prefixes], np.int32),
+            )
+            if new_pos < 0:
+                raise InsufficientDataError("qco: out of data")
+            r.pos = new_pos
+            return out_arr
+
     out = []
     read_bits = r.read_bits
     while len(out) < n:
@@ -771,13 +798,16 @@ def _make_huffman_codes(prefixes, n):
 
 
 def _train_prefixes(unsigneds, level, flags: Flags, n, raw_bits, u_bits):
-    if not unsigneds:
+    if len(unsigneds) == 0:
         return []
     if level > MAX_LEVEL:
         raise InvalidArgumentError("qco: compression level too high")
     if n > MAX_ENTRIES:
         raise InvalidArgumentError("qco: too many entries per chunk")
-    sorted_u = sorted(unsigneds)
+    if isinstance(unsigneds, np.ndarray):
+        sorted_u = np.sort(unsigneds).tolist()
+    else:
+        sorted_u = sorted(unsigneds)
     prefs = _choose_unoptimized(sorted_u, level, flags.use_gcds, u_bits)
     prefs = _optimize_prefixes(prefs, flags, n, raw_bits, u_bits)
     _make_huffman_codes(prefs, n)
@@ -786,6 +816,43 @@ def _train_prefixes(unsigneds, level, flags: Flags, n, raw_bits, u_bits):
 
 def _compress_body(prefixes, unsigneds, w: Writer):
     """base_compressor.rs compress_data_page."""
+    if (isinstance(unsigneds, np.ndarray) and len(prefixes)
+            and all(p.upper_u < (1 << 64) for p in prefixes)):
+        try:
+            from pcodec_tpu.native import kernels as _nk
+        except ImportError:
+            _nk = None
+        if _nk is not None and w.nbits == 0:
+            ps = sorted(prefixes, key=lambda p: p.lower_u)
+            max_cl = max(len(p.code) for p in ps)
+            max_k = max(p.k for p in ps)
+            cap_bits = len(unsigneds) * (max_cl + max_k + 52) + 128
+            dst = np.zeros(cap_bits // 8 + 16, dtype=np.uint8)
+            codes = np.array(
+                [sum(bit << (len(p.code) - 1 - i)
+                     for i, bit in enumerate(p.code)) for p in ps],
+                np.uint32)
+            nbits = _nk.qco_encode_body(
+                np.ascontiguousarray(unsigneds, np.uint64),
+                np.array([p.lower_u for p in ps], np.uint64),
+                np.array([p.upper_u for p in ps], np.uint64),
+                np.array([p.gcd for p in ps], np.uint64),
+                codes,
+                np.array([len(p.code) for p in ps], np.int32),
+                np.array([p.k for p in ps], np.int32),
+                np.array([p.only_k_lower for p in ps], np.uint64),
+                np.array([p.only_k_upper for p in ps], np.uint64),
+                np.array([-1 if p.jumpstart is None else p.jumpstart
+                          for p in ps], np.int32),
+                dst,
+            )
+            if nbits < 0:
+                raise InvalidArgumentError("qco: number not in any prefix")
+            w.buf.extend(dst[: -(-nbits // 8)].tobytes())
+            return
+        unsigneds = [int(u) for u in unsigneds]
+    elif isinstance(unsigneds, np.ndarray):
+        unsigneds = [int(u) for u in unsigneds]
     # search: prefixes sorted by lower bound; ranges tile the value set
     order = sorted(range(len(prefixes)), key=lambda i: prefixes[i].lower_u)
     lowers = [prefixes[i].lower_u for i in order]
@@ -855,6 +922,8 @@ def _nth_order_deltas(dtype: QcoType, nums, order, page_idxs):
 # ---------------------------------------------------------------------------
 
 def _nums_from_numpy(nums, dtype_name=None):
+    """Returns (dtype, vals): vals is a u64 PATTERN array for numpy dtypes
+    (the numpy/native fast path), else a list of number representations."""
     if isinstance(nums, np.ndarray):
         if dtype_name is None:
             dtype_name = {
@@ -863,12 +932,14 @@ def _nums_from_numpy(nums, dtype_name=None):
                 "bool": "bool", "uint16": "u16", "int16": "i16",
             }[str(nums.dtype)]
         t = TYPES[dtype_name]
-        if t.kind == "float":
-            bits = nums.view(np.uint32 if t.u_bits == 32 else np.uint64)
-            return t, [int(x) for x in bits]
-        if t.kind == "bool":
-            return t, [int(bool(x)) for x in nums]
-        return t, [int(x) for x in nums]
+        if t.name in NP_DTYPES and t.u_bits <= 64:
+            if t.kind == "bool":
+                pat = nums.astype(np.uint8).astype(np.uint64)
+            else:
+                pat = (nums.astype(NP_DTYPES[t.name])
+                       .view(_NP_SMALL_U[t.u_bits]).astype(np.uint64))
+            return t, pat
+        nums = nums.tolist()
     if dtype_name is None:
         raise InvalidArgumentError("qco: dtype required for lists")
     return TYPES[dtype_name], list(nums)
@@ -893,13 +964,43 @@ def _write_chunk(w: Writer, dtype: QcoType, nums, level, flags: Flags,
     order = flags.delta_order
     page_sizes = page_sizes or [n]
     raw_bits, u_bits = _prefix_spaces(dtype, order)
-    if order == 0:
+    page_idxs = [0]
+    for s in page_sizes[:-1]:
+        page_idxs.append(page_idxs[-1] + s)
+    if isinstance(nums, np.ndarray):
+        # pattern-array fast path: deltas/bijections vectorized; the
+        # signed-space PATTERN of any <=64-bit kind is the raw pattern
+        b = dtype.u_bits
+        mask = np.uint64((1 << b) - 1)
+        half = np.uint64(1 << (b - 1))
+        momentss = [[] for _ in page_sizes]
+        with np.errstate(over="ignore"):
+            if order == 0:
+                if dtype.kind == "int":
+                    unsigneds = (nums + half) & mask
+                elif dtype.kind == "float":
+                    unsigneds = np.where(
+                        nums & half, (~nums) & mask, nums ^ half)
+                else:  # uint / bool
+                    unsigneds = nums
+            else:
+                res = nums
+                for _ in range(order):
+                    for pi, idx in enumerate(page_idxs):
+                        momentss[pi].append(
+                            int(res[idx]) if idx < len(res) else 0)
+                    if dtype.kind == "bool":
+                        res = np.bitwise_xor(res[1:], res[:-1])
+                    else:
+                        res = (res[1:] - res[:-1]) & mask
+                if dtype.kind == "bool":
+                    unsigneds = res
+                else:
+                    unsigneds = (res + half) & mask
+    elif order == 0:
         unsigneds = [dtype.to_u(x) for x in nums]
         momentss = [[] for _ in page_sizes]
     else:
-        page_idxs = [0]
-        for s in page_sizes[:-1]:
-            page_idxs.append(page_idxs[-1] + s)
         deltas, momentss = _nth_order_deltas(dtype, nums, order, page_idxs)
         unsigneds = [dtype.s_to_u(d) for d in deltas]
     prefs = _train_prefixes(unsigneds, level, flags, n, raw_bits, u_bits)
@@ -955,11 +1056,8 @@ def _moment_from_raw(dtype: QcoType, r):
     return r - (1 << b) if r >= (1 << (b - 1)) else r
 
 
-def qco_compress(nums, dtype_name=None, level=DEFAULT_LEVEL, delta_order=0,
-                 use_gcds=True):
-    """Standalone .qco bytes (ref: standalone/compressor.rs
-    simple_compress)."""
-    dtype, vals = _nums_from_numpy(nums, dtype_name)
+def _compress_vals(dtype, vals, level, delta_order, use_gcds):
+    """Standalone compress of pre-converted vals (pattern array or list)."""
     flags = Flags(delta_order=delta_order, use_gcds=use_gcds)
     w = Writer()
     w.buf.extend(MAGIC)
@@ -974,6 +1072,29 @@ def qco_compress(nums, dtype_name=None, level=DEFAULT_LEVEL, delta_order=0,
             _write_chunk(w, dtype, vals[s : s + per], level, flags)
     w.buf.append(TERM_BYTE)
     return bytes(w.buf)
+
+
+def qco_compress(nums, dtype_name=None, level=DEFAULT_LEVEL, delta_order=0,
+                 use_gcds=True):
+    """Standalone .qco bytes (ref: standalone/compressor.rs
+    simple_compress)."""
+    dtype, vals = _nums_from_numpy(nums, dtype_name)
+    return _compress_vals(dtype, vals, level, delta_order, use_gcds)
+
+
+
+def _assemble(dtype: QcoType, pieces, as_numpy):
+    """Concatenate per-chunk results (numpy arrays and/or lists)."""
+    if dtype.name in NP_DTYPES:
+        arrs = [p if isinstance(p, np.ndarray) else _nums_to_numpy(dtype, p)
+                for p in pieces]
+        full = (np.concatenate(arrs) if arrs
+                else _nums_to_numpy(dtype, []))
+        return full if as_numpy else full.tolist()
+    flat = []
+    for p in pieces:
+        flat.extend(p.tolist() if isinstance(p, np.ndarray) else p)
+    return flat
 
 
 def qco_decompress(data, as_numpy=True):
@@ -1008,14 +1129,69 @@ def qco_decompress(data, as_numpy=True):
         r.pos = (body_start + cbs) * 8
         if r.pos > r.total_bits:
             raise InsufficientDataError("qco: body overruns file")
-        out.extend(_join_chunk(dtype, order, moments, us, n))
-    vals = out
-    return (_nums_to_numpy(dtype, vals) if as_numpy else vals), dtype.name
+        out.append(_join_chunk(dtype, order, moments, us, n))
+    return _assemble(dtype, out, as_numpy), dtype.name
+
+
+_NP_SMALL_U = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+_NP_SMALL_I = {8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}
+
+
+def _patterns_to_np(dtype: QcoType, pat: np.ndarray):
+    """u_bits-bit patterns (u64 array) -> final numpy values."""
+    b = dtype.u_bits
+    small = pat if b == 64 else pat.astype(_NP_SMALL_U[b])
+    if dtype.kind == "int":
+        return small.view(_NP_SMALL_I[b])
+    if dtype.kind == "float":
+        return small.view(NP_DTYPES[dtype.name])
+    if dtype.kind == "bool":
+        return small != 0
+    return small  # uint
+
+
+def _join_chunk_np(dtype: QcoType, order, moments, us: np.ndarray, n):
+    """Vectorized _join_chunk for <= 64-bit dtypes (native decode path)."""
+    b = dtype.u_bits
+    mask = np.uint64((1 << b) - 1)
+    half = np.uint64(1 << (b - 1))
+    if order == 0:
+        u = us & mask
+        if dtype.kind in ("int",):
+            pat = (u + half) & mask  # from_u = u - MID, same bit pattern
+        elif dtype.kind == "float":
+            sign = half
+            pat = np.where(u & sign, u ^ sign, (~u) & mask)
+        else:  # uint / bool
+            pat = u
+        return _patterns_to_np(dtype, pat)
+    if dtype.kind == "bool":
+        vals = (us != 0).astype(np.uint8)
+        vals = np.concatenate(
+            [vals, np.zeros(max(0, n - len(vals)), np.uint8)])
+        for m in reversed(moments):
+            seq = np.concatenate(
+                [np.array([1 if m else 0], np.uint8), vals])
+            vals = np.bitwise_xor.accumulate(seq)[:n]
+        return vals != 0
+    # wrapping cumsum cascade on u_bits-bit patterns (u64 wraps; mask = mod)
+    with np.errstate(over="ignore"):
+        vals = ((us & mask) + half) & mask  # u_to_s patterns
+        vals = np.concatenate(
+            [vals, np.zeros(max(0, n - len(vals)), np.uint64)])
+        for m in reversed(moments):
+            seq = np.concatenate(
+                [np.array([m & ((1 << b) - 1)], np.uint64), vals])
+            vals = np.cumsum(seq, dtype=np.uint64)[:n] & mask
+    return _patterns_to_np(dtype, vals)
 
 
 def _join_chunk(dtype: QcoType, order, moments, us, n):
+    if isinstance(us, np.ndarray) and dtype.name in NP_DTYPES:
+        return _join_chunk_np(dtype, order, moments, us, n)
+    us = list(us)
     if order == 0:
-        return [dtype.from_u(u) for u in us]
+        return [dtype.from_u(int(u)) for u in us]
     signed = _reconstruct_from_deltas(dtype, moments, us, n)
     if dtype.kind == "bool":
         return signed
@@ -1033,22 +1209,24 @@ def auto_compress(nums, dtype_name=None, level=DEFAULT_LEVEL):
         half = AUTO_DELTA_LIMIT // 2
         head = vals[:half]
         if all(x == head[0] for x in head):
-            head = head + vals[-half:]
+            if isinstance(vals, np.ndarray):
+                head = np.concatenate([head, vals[-half:]])
+            else:
+                head = head + vals[-half:]
         else:
             head = vals[:AUTO_DELTA_LIMIT]
     best_order, best_size = 0, None
     for order in range(8):
-        if head:
-            trial = qco_compress(head, dtype.name,
-                                 level=min(level, MAX_AUTO_DELTA_LEVEL),
-                                 delta_order=order, use_gcds=False)
+        if len(head):
+            trial = _compress_vals(
+                dtype, head, min(level, MAX_AUTO_DELTA_LEVEL), order,
+                use_gcds=False)
             size = len(trial)
         else:
             size = 0
         if best_size is None or size < best_size:
             best_order, best_size = order, size
-    return qco_compress(vals, dtype.name, level=level,
-                        delta_order=best_order)
+    return _compress_vals(dtype, vals, level, best_order, use_gcds=True)
 
 
 def auto_decompress(data, as_numpy=True):
@@ -1140,8 +1318,8 @@ def wrapped_decompress(data, as_numpy=True):
                        for _ in range(order)]
             us = _decode_unsigneds(
                 pr, prefs, max(size - order, 0) if order else size)
-            out.extend(_join_chunk(dtype, order, moments, us, size))
-    return (_nums_to_numpy(dtype, out) if as_numpy else out), dtype.name
+            out.append(_join_chunk(dtype, order, moments, us, size))
+    return _assemble(dtype, out, as_numpy), dtype.name
 
 
 def read_raw_asset(data: bytes, dtype_name: str):

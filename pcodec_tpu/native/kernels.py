@@ -147,6 +147,55 @@ _lib.pco_decode_page_pre_delta.argtypes = [
 ]
 
 
+_lib.pco_qco_decode_body.restype = ctypes.c_longlong
+_lib.pco_qco_decode_body.argtypes = [
+    _u8p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+    ctypes.c_int, _i32p, _i32p, _u64p, _u64p, _i32p, _u64p, _u64p, _i32p,
+    _u64p,
+]
+
+
+def qco_decode_body(padded: bytes, total_bits: int, start_bit: int,
+                    n_out: int, max_depth: int, table, code_lens, lowers_u,
+                    gcds, ks, min_unambiguous, most_significant, jumpstarts):
+    """Native .qco chunk-body decode (legacy/qco.py fast path). Returns
+    (out u64 array, new bit pos) or raises on insufficient data."""
+    buf = np.frombuffer(padded, dtype=np.uint8)
+    out = np.empty(n_out, dtype=np.uint64)
+    new_pos = _lib.pco_qco_decode_body(
+        _ptr(buf, ctypes.c_uint8), total_bits, start_bit, n_out, max_depth,
+        _ptr(table, ctypes.c_int32), _ptr(code_lens, ctypes.c_int32),
+        _ptr(lowers_u, ctypes.c_uint64), _ptr(gcds, ctypes.c_uint64),
+        _ptr(ks, ctypes.c_int32), _ptr(min_unambiguous, ctypes.c_uint64),
+        _ptr(most_significant, ctypes.c_uint64),
+        _ptr(jumpstarts, ctypes.c_int32), _ptr(out, ctypes.c_uint64),
+    )
+    return out, int(new_pos)
+
+
+_lib.pco_qco_encode_body.restype = ctypes.c_longlong
+_lib.pco_qco_encode_body.argtypes = [
+    _u64p, ctypes.c_longlong, ctypes.c_int, _u64p, _u64p, _u64p, _u32p,
+    _i32p, _i32p, _u64p, _u64p, _i32p, _u8p,
+]
+
+
+def qco_encode_body(unsigneds: np.ndarray, lowers, uppers, gcds, codes,
+                    code_lens, ks, only_k_lower, only_k_upper, jumpstarts,
+                    dst: np.ndarray) -> int:
+    """Native .qco chunk-body encode. dst must be zeroed with worst-case
+    capacity. Returns bits written (-1 if a value fits no prefix)."""
+    return int(_lib.pco_qco_encode_body(
+        _ptr(unsigneds, ctypes.c_uint64), len(unsigneds), len(lowers),
+        _ptr(lowers, ctypes.c_uint64), _ptr(uppers, ctypes.c_uint64),
+        _ptr(gcds, ctypes.c_uint64), _ptr(codes, ctypes.c_uint32),
+        _ptr(code_lens, ctypes.c_int32), _ptr(ks, ctypes.c_int32),
+        _ptr(only_k_lower, ctypes.c_uint64),
+        _ptr(only_k_upper, ctypes.c_uint64),
+        _ptr(jumpstarts, ctypes.c_int32), _ptr(dst, ctypes.c_uint8),
+    ))
+
+
 def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 

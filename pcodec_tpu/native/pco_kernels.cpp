@@ -628,3 +628,175 @@ extern "C" long long pco_histogram_walk(
 
 }  // extern "C"
 
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Legacy quantile-compression (.qco) body codec. MSB-first bit order
+// (ref: quantile-compression/q_compress/src/bits.rs). The Python layer in
+// pcodec_tpu/legacy/qco.py builds the flat Huffman table and per-prefix
+// arrays; widths > 64 bits stay on the pure-Python path.
+// ---------------------------------------------------------------------------
+
+// Read n (<= 64) bits MSB-first at absolute bit pos. Caller guarantees
+// >= 9 readable bytes past pos (the Python layer passes a padded buffer).
+static inline uint64_t qco_rd(const uint8_t* d, long long pos, int n) {
+  long long byte = pos >> 3;
+  int j = (int)(pos & 7);
+  unsigned __int128 w = 0;
+  for (int i = 0; i < 9; i++) w = (w << 8) | d[byte + i];
+  uint64_t v = (uint64_t)(w >> (72 - j - n));
+  return n >= 64 ? v : v & ((1ULL << n) - 1);
+}
+
+// Decode n_out unsigneds of one chunk body. Returns the new bit position,
+// or -1 on insufficient data. table maps a max_depth-bit peek to a prefix
+// index; per-prefix arrays follow prefix.rs PrefixDecompressionInfo.
+long long pco_qco_decode_body(
+    const uint8_t* data,          // padded by >= 17 zero bytes
+    long long total_bits,
+    long long start_bit,
+    long long n_out,
+    int max_depth,
+    const int32_t* table,         // (1 << max_depth,)
+    const int32_t* code_lens,
+    const uint64_t* lowers_u,
+    const uint64_t* gcds,
+    const int32_t* ks,
+    const uint64_t* min_unambiguous,
+    const uint64_t* most_significant,
+    const int32_t* jumpstarts,    // -1 = none
+    uint64_t* out) {
+  long long pos = start_bit;
+  long long emitted = 0;
+  while (emitted < n_out) {
+    uint64_t peek = max_depth ? qco_rd(data, pos, max_depth) : 0;
+    int p = table[peek];
+    int depth = code_lens[p];
+    if (pos + depth > total_bits) return -1;
+    pos += depth;
+    long long reps = 1;
+    int js = jumpstarts[p];
+    if (js >= 0) {
+      // varint: js low bits then (continue, bit) pairs (bit_reader.rs:238)
+      if (pos + js > total_bits) return -1;
+      uint64_t r = qco_rd(data, pos, js);
+      pos += js;
+      for (int i = js; i < 24; i++) {
+        if (pos + 1 > total_bits) return -1;
+        if (qco_rd(data, pos, 1)) {
+          if (pos + 2 > total_bits) return -1;
+          r |= qco_rd(data, pos + 1, 1) << i;
+          pos += 2;
+        } else {
+          pos += 1;
+          break;
+        }
+      }
+      reps = (long long)r + 1;
+      long long cap = n_out - emitted;
+      if (reps > cap) reps = cap;  // num_decompressor.rs limit_reps
+    }
+    int k = ks[p];
+    uint64_t lower = lowers_u[p], gcd = gcds[p];
+    uint64_t mu = min_unambiguous[p], ms = most_significant[p];
+    if (js >= 0 && k == 0) {
+      for (long long i = 0; i < reps; i++) out[emitted++] = lower;
+      continue;
+    }
+    for (long long i = 0; i < reps; i++) {
+      if (pos + k > total_bits) return -1;
+      uint64_t off = k ? qco_rd(data, pos, k) : 0;
+      pos += k;
+      if (off < mu) {
+        if (pos + 1 > total_bits) return -1;
+        if (qco_rd(data, pos, 1)) off |= ms;
+        pos += 1;
+      }
+      out[emitted++] = lower + off * gcd;
+    }
+  }
+  return pos;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Encode one .qco chunk body (base_compressor.rs compress_data_page).
+// Prefix arrays are ordered by lower bound; search is binary. dst must be
+// zero-initialized with capacity >= the worst-case bits. Returns bits
+// written, or -1 if a value is not contained in any prefix.
+long long pco_qco_encode_body(
+    const uint64_t* unsigneds, long long n,
+    int n_pref,
+    const uint64_t* lowers,       // sorted by lower
+    const uint64_t* uppers,
+    const uint64_t* gcds,
+    const uint32_t* codes,        // code value (MSB-first, code_len bits)
+    const int32_t* code_lens,
+    const int32_t* ks,
+    const uint64_t* only_k_lower,
+    const uint64_t* only_k_upper,
+    const int32_t* jumpstarts,    // -1 = none
+    uint8_t* dst) {
+  long long pos = 0;
+  auto wr = [&](uint64_t v, int nb) {
+    // MSB-first append of nb (<= 64) bits at bit pos into zeroed dst
+    long long byte = pos >> 3;
+    int j = (int)(pos & 7);
+    if (nb < 64) v &= (1ULL << nb) - 1;
+    // place v into a 128-bit window aligned at byte
+    unsigned __int128 w = (unsigned __int128)v << (128 - j - nb);
+    for (int i = 0; 8 * i < j + nb; i++) {
+      dst[byte + i] |= (uint8_t)(w >> (120 - 8 * i));
+    }
+    pos += nb;
+  };
+  long long i = 0;
+  while (i < n) {
+    uint64_t u = unsigneds[i];
+    // rightmost prefix with lower <= u
+    int lo = 0, hi = n_pref;
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (lowers[mid] <= u) lo = mid + 1; else hi = mid;
+    }
+    int p = lo - 1;
+    if (p < 0 || u > uppers[p]) return -1;
+    wr(codes[p], code_lens[p]);
+    long long reps = 1;
+    if (jumpstarts[p] >= 0) {
+      while (i + reps < n && unsigneds[i + reps] >= lowers[p] &&
+             unsigneds[i + reps] <= uppers[p])
+        reps++;
+      // varint of reps-1 (bit_writer.rs write_varint)
+      int js = jumpstarts[p];
+      uint64_t x = (uint64_t)(reps - 1);
+      wr(x, js);
+      x >>= js;
+      for (int b = js; b < 24; b++) {
+        if (x > 0) {
+          wr(1, 1);
+          wr(x & 1, 1);
+          x >>= 1;
+        } else {
+          break;
+        }
+      }
+      wr(0, 1);  // stop bit
+    }
+    int k = ks[p];
+    uint64_t lower = lowers[p], gcd = gcds[p];
+    uint64_t okl = only_k_lower[p], oku = only_k_upper[p];
+    for (long long r = 0; r < reps; r++) {
+      uint64_t off = (unsigneds[i + r] - lower) / gcd;
+      if (k) wr(off, k);
+      if (off < okl || off > oku) wr((off >> k) & 1, 1);
+    }
+    i += reps;
+  }
+  return pos;
+}
+
+}  // extern "C"

@@ -127,6 +127,36 @@ class TestRoundTrip:
         assert dtype == "f32"
         assert np.array_equal(got.view(np.uint32), x.view(np.uint32))
 
+    def test_native_path_matches_python_path(self):
+        # numpy/native encode (C body + vectorized split) must emit the
+        # exact bytes of the pure-Python reference path (list input)
+        rng = np.random.default_rng(9)
+        cases = [
+            (np.cumsum(rng.integers(-5, 9, 5000)).astype(np.int64), 2),
+            (rng.normal(0, 1, 5000).astype(np.float32), 0),
+            ((rng.integers(0, 50, 5000) * 99).astype(np.uint32), 0),
+            ((rng.random(5000) < 0.02), 0),  # sparse bool, run-length
+            (rng.integers(-300, 300, 5000).astype(np.int16), 1),
+        ]
+        for x, order in cases:
+            blob_np = qco_compress(x, delta_order=order)
+            if x.dtype == np.bool_:
+                lst = [bool(v) for v in x]
+            elif x.dtype.kind == "f":
+                w = np.uint32 if x.dtype.itemsize == 4 else np.uint64
+                lst = [int(v) for v in x.view(w)]
+            else:
+                lst = [int(v) for v in x]
+            name = {"int64": "i64", "float32": "f32", "uint32": "u32",
+                    "bool": "bool", "int16": "i16"}[str(x.dtype)]
+            blob_py = qco_compress(lst, name, delta_order=order)
+            assert blob_np == blob_py, (x.dtype, order)
+            got, _ = qco_decompress(blob_np)
+            if x.dtype.kind == "f":
+                assert np.array_equal(got.view(w), x.view(w))
+            else:
+                assert np.array_equal(got, x)
+
     def test_ratio_on_reference_like_data(self):
         # sanity: the codec actually compresses (brownian f32 ~ several x)
         rng = np.random.default_rng(8)
