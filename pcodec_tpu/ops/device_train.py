@@ -1347,37 +1347,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             (gcd_np, gcd_starts, gcd_lens, gcd_m_max), mode_s_dev, chunk_ns, lt
         )
         _t0 = _trace("gcd scoring", _t0)
-        # IntMult chunks decide delta on PRIMARY latents (latent // base):
-        # their stage-1 candidates re-run with the base division
-        if int_bases and is_delta_auto:
-            redis: Dict[int, list] = {}
-            for ci in int_bases:
-                if delta_spans[ci][1] >= 2:
-                    redis.setdefault(int(ubls[ci]), []).append(ci)
-            redis_handles = []
-            for ubl_g, cis in sorted(redis.items()):
-                starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
-                lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
-                devs = _phase_delta_candidates(
-                    delta_s_dev, jnp.asarray(starts_g),
-                    jnp.asarray(lens_g), n_chunks=len(cis),
-                    m_max=int(lens_g.max()), max_order=STAGE1_ORDERS,
-                    nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
-                    include_lookback=False,
-                    bases=jnp.asarray(
-                        np.array([int_bases[ci] for ci in cis], np.uint64)),
-                    has_bases=True,
-                )
-                redis_handles.append((ubl_g, cis, lens_g, devs))
-            for ubl_g, cis, lens_g, (dense_d, nbn_d) in redis_handles:
-                per_row = _fetch_packed_bins(dense_d, nbn_d)
-                for k, ci in enumerate(cis):
-                    dn_ci = int(lens_g[k])
-                    cand_bins_by_ci[ci] = [
-                        (per_row[k * n_cand1 + cand], max(dn_ci - cand, 0))
-                        for cand in range(n_cand1)
-                    ]
-            _t0 = _trace("intmult cand redispatch", _t0)
 
     # ---- mode routing: every auto-mode winner stays on device. IntMult /
     # FloatQuant split via integer division; FloatMult splits via the
@@ -1429,37 +1398,42 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             return p.astype(np.uint64)
         return sample
 
-    if (quant_ks or fmult_bases) and is_delta_auto:
-        # float-mode chunks decide delta on PRIMARY latents: their stage-1
-        # candidates re-run with the split applied (same as IntMult above)
+    def _cand_split_kw(cis):
+        """Per-chunk primary-transform kwargs for _phase_delta_candidates
+        (IntMult/FloatQuant // base; FloatMult softfloat)."""
+        kw = {}
+        if any(ci in prim_bases for ci in cis):
+            kw = dict(
+                bases=jnp.asarray(np.array(
+                    [prim_bases.get(ci, 1) for ci in cis], np.uint64)),
+                has_bases=True,
+            )
+        if any(ci in fmult_map for ci in cis):
+            kw.update(
+                fmult_invb=jnp.asarray(np.array(
+                    [fmult_map.get(ci, (0, 0))[0] for ci in cis],
+                    np.uint64)),
+                f_params=f_params,
+            )
+        return kw
+
+    if (prim_bases or fmult_map) and is_delta_auto:
+        # non-Classic winners decide delta on PRIMARY latents: their
+        # stage-1 candidates re-run with the mode split applied
         redis_q: Dict[int, list] = {}
-        for ci in list(quant_ks) + list(fmult_bases):
+        for ci in list(prim_bases) + list(fmult_map):
             if delta_spans[ci][1] >= 2:
                 redis_q.setdefault(int(ubls[ci]), []).append(ci)
         rq_handles = []
         for ubl_g, cis in sorted(redis_q.items()):
             starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
             lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
-            kw = {}
-            if any(ci in prim_bases for ci in cis):
-                kw = dict(
-                    bases=jnp.asarray(np.array(
-                        [prim_bases.get(ci, 1) for ci in cis], np.uint64)),
-                    has_bases=True,
-                )
-            if any(ci in fmult_map for ci in cis):
-                kw.update(
-                    fmult_invb=jnp.asarray(np.array(
-                        [fmult_map.get(ci, (0, 0))[0] for ci in cis],
-                        np.uint64)),
-                    f_params=f_params,
-                )
             devs = _phase_delta_candidates(
                 delta_s_dev, jnp.asarray(starts_g),
                 jnp.asarray(lens_g), n_chunks=len(cis),
                 m_max=int(lens_g.max()), max_order=STAGE1_ORDERS,
                 nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
-                include_lookback=False, **kw,
+                include_lookback=False, **_cand_split_kw(cis),
             )
             rq_handles.append((ubl_g, cis, lens_g, devs))
         for ubl_g, cis, lens_g, (dense_d, nbn_d) in rq_handles:
@@ -1470,7 +1444,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     (per_row[k * n_cand1 + cand], max(dn_ci - cand, 0))
                     for cand in range(n_cand1)
                 ]
-        _t0 = _trace("float-mode cand redispatch", _t0)
+        _t0 = _trace("mode-split cand redispatch", _t0)
 
     # ---- speculative auto-delta decision (no-lookback chain) ----
     # Stage-1 chains (orders 0..STAGE1_ORDERS) break there for almost all
@@ -1517,26 +1491,13 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             for ubl_g, cis in sorted(unbroken.items()):
                 starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
                 lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
-                kw = {}
-                if any(ci in prim_bases for ci in cis):
-                    kw = dict(
-                        bases=jnp.asarray(np.array(
-                            [prim_bases.get(ci, 1) for ci in cis], np.uint64)),
-                        has_bases=True,
-                    )
-                if any(ci in fmult_map for ci in cis):
-                    kw.update(
-                        fmult_invb=jnp.asarray(np.array(
-                            [fmult_map.get(ci, (0, 0))[0] for ci in cis],
-                            np.uint64)),
-                        f_params=f_params,
-                    )
                 devs = _phase_delta_candidates(
                     delta_s_dev, jnp.asarray(starts_g),
                     jnp.asarray(lens_g), n_chunks=len(cis),
                     m_max=int(lens_g.max()), max_order=mo,
                     nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
-                    include_lookback=False, min_order=STAGE1_ORDERS + 1, **kw,
+                    include_lookback=False, min_order=STAGE1_ORDERS + 1,
+                    **_cand_split_kw(cis),
                 )
                 s2_handles.append((ubl_g, cis, lens_g, devs))
             n_cand2 = mo - STAGE1_ORDERS
