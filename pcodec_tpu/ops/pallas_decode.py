@@ -1411,7 +1411,13 @@ def _decode_plan_device(plan: DecodePlan, launch_arrays):
             la["bodyn"], la["tbl_ids"], la.get("moments"),
         )
         outs_by_launch[lkey] = outs
+    return _post_chunks(plan, outs_by_launch)
 
+
+def _post_chunks(plan: DecodePlan, outs_by_launch):
+    """XLA post over kernel outputs: latent assembly, delta reconstruction,
+    mode joins, ragged trim. Shared by the single-device and sharded
+    (shard_map kernel phase) decode paths."""
     results = []
     for cp in plan.chunks:
         if cp.fallback is not None:

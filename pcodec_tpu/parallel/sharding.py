@@ -114,18 +114,17 @@ def sharded_roundtrip_step(mesh: Mesh, arrays, node_flat, lower_flat, schema: Ta
 # ---------------------------------------------------------------------------
 
 
-def sharded_container_decode(data: bytes, mesh: Mesh = None):
+def sharded_container_decode(data: bytes, mesh: Mesh = None, plan=None):
     """Bit-exact sharded PCT decode with per-device byte-range scatter.
 
-    The SURVEY §5 comm design: the host scatters to each device ONLY the
-    4 KB blocks its chains reference (the outer container knows every
-    page's byte range — no replication of the compressed buffer), chunk
-    tables are replicated (KB-scale), each device decodes its tile shard
-    with the Pallas kernels, and the decoded shards gather back to the
-    host, which byte-compares against the host decoder.
-
-    Covers fused single-launch containers (classic consecutive-order-1
-    64-bit — the flagship config); returns the decoded numpy array.
+    The SURVEY §5 comm design, for EVERY launch group / mode / delta
+    encoding: the host scatters to each device ONLY the 4 KB blocks its
+    chains reference (the outer container knows every page's byte range —
+    no replication of the compressed buffer), chunk tables are replicated
+    (KB-scale), each device runs the Pallas kernels on its tile shard
+    under shard_map, and the XLA post (delta reconstruction, mode joins,
+    ragged trim) runs on the gathered global outputs inside the same jit.
+    Returns the decoded numpy array.
     """
     shard_map = getattr(jax, "shard_map", None)
     if shard_map is not None:
@@ -139,93 +138,118 @@ def sharded_container_decode(data: bytes, mesh: Mesh = None):
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     nd = mesh.devices.size
-    plan = pd.plan_container(data)
-    assert len(plan.launches) == 1, "sharded decode expects one launch group"
-    (lkey, launch), = plan.launches.items()
-    schema = launch.schema
-    assert schema.fuse, "sharded decode covers the fused kernel path"
-    fb = schema.fetch_blocks
-
-    # pad tiles to a multiple of the mesh
-    n_tiles = launch.curs.shape[0]
-    pad_t = (-n_tiles) % nd
-    def padt(a):
-        if pad_t == 0:
-            return a
-        z = np.zeros((pad_t,) + a.shape[1:], dtype=a.dtype)
-        return np.concatenate([a, z])
-    curs = padt(launch.curs)
-    states0 = padt(launch.states0)
-    bodyn = padt(launch.bodyn)
-    tbl_ids = padt(launch.tbl_ids)
-    moments = padt(launch.moments)
-    tpd = curs.shape[0] // nd  # tiles per device
-
-    starts = launch.starts_blk
-    spad = nd * tpd * TILE_CHAINS - len(starts)
-    starts = np.concatenate([starts, np.zeros(spad, starts.dtype)])
-    cpd = len(starts) // nd
-
-    # ---- host scatter: per-device local block buffers ----
+    plan = plan or pd.plan_container(data)
     raw2d = plan.raw2d
-    local_starts = np.zeros((nd, cpd), dtype=np.int32)
-    uniq_per_dev = []
-    for d in range(nd):
-        sl = starts[d * cpd : (d + 1) * cpd]
-        uniq, inv = np.unique(sl, return_inverse=True)
-        uniq_per_dev.append(uniq)
-        local_starts[d] = (inv * fb).astype(np.int32)
-    max_u = max(len(u) for u in uniq_per_dev)
-    local_raw = np.zeros((nd, max_u * fb * 8, 128), dtype=np.int32)
     n_blocks_total = raw2d.shape[0] // 8
-    for d, uniq in enumerate(uniq_per_dev):
-        for k, b in enumerate(uniq.tolist()):
-            hi = min(b + fb, n_blocks_total)
-            span = raw2d[b * 8 : hi * 8]
-            local_raw[d, k * fb * 8 : k * fb * 8 + span.shape[0]] = span
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P()),
-        out_specs=(P(axis), P(axis)),
-    )
-    def step(local_raw, local_starts, curs, states0, bodyn, tbl_ids, moments,
-             tables):
-        sec = pd._realign(local_raw[0], local_starts[0], fb)
-        outs = pd._decode_call(
-            schema, sec, tables, curs, states0, bodyn, tbl_ids, moments
-        )
-        return outs
+    # ---- host prep per launch: tile padding + per-device block scatter ----
+    prepared = {}
+    for lkey, launch in plan.launches.items():
+        schema = launch.schema
+        fb = schema.fetch_blocks
+        n_tiles = launch.curs.shape[0]
+        pad_t = (-n_tiles) % nd
 
-    outs = jax.jit(step)(
-        jnp.asarray(local_raw), jnp.asarray(local_starts.reshape(nd, cpd)),
-        jnp.asarray(curs), jnp.asarray(states0), jnp.asarray(bodyn),
-        jnp.asarray(tbl_ids), jnp.asarray(moments), jnp.asarray(launch.tables),
-    )
-    # gather decoded shards; assemble final numbers on host
-    o0, o1 = (np.asarray(o) for o in outs)
-    T = o0.shape[0]
-    R = schema.rounds
-    x = np.stack(
-        [o0.reshape(T, R, 8, 32, 4), o1.reshape(T, R, 8, 32, 4)], axis=-1
-    )
-    mem = x.transpose(0, 3, 2, 1, 4, 5).reshape(T * TILE_CHAINS, schema.page_n, 2)
+        def padt(a):
+            if pad_t == 0:
+                return a
+            z = np.zeros((pad_t,) + a.shape[1:], dtype=a.dtype)
+            return np.concatenate([a, z])
+
+        curs = padt(launch.curs)
+        states0 = padt(launch.states0)
+        bodyn = padt(launch.bodyn)
+        tbl_ids = padt(launch.tbl_ids)
+        moments = padt(launch.moments) if launch.moments is not None else None
+        tpd = curs.shape[0] // nd
+
+        starts = launch.starts_blk
+        spad = nd * tpd * TILE_CHAINS - len(starts)
+        starts = np.concatenate([starts, np.zeros(spad, starts.dtype)])
+        cpd = len(starts) // nd
+
+        local_starts = np.zeros((nd, cpd), dtype=np.int32)
+        uniq_per_dev = []
+        for d in range(nd):
+            sl = starts[d * cpd : (d + 1) * cpd]
+            uniq, inv = np.unique(sl, return_inverse=True)
+            uniq_per_dev.append(uniq)
+            local_starts[d] = (inv * fb).astype(np.int32)
+        max_u = max(len(u) for u in uniq_per_dev)
+        local_raw = np.zeros((nd, max_u * fb * 8, 128), dtype=np.int32)
+        for d, uniq in enumerate(uniq_per_dev):
+            for k, b in enumerate(uniq.tolist()):
+                hi = min(b + fb, n_blocks_total)
+                span = raw2d[b * 8 : hi * 8]
+                local_raw[d, k * fb * 8 : k * fb * 8 + span.shape[0]] = span
+
+        prepared[lkey] = {
+            "n_tiles": n_tiles,
+            "args": dict(
+                local_raw=jnp.asarray(local_raw),
+                local_starts=jnp.asarray(local_starts),
+                curs=jnp.asarray(curs),
+                states0=jnp.asarray(states0),
+                bodyn=jnp.asarray(bodyn),
+                tbl_ids=jnp.asarray(tbl_ids),
+                moments=None if moments is None else jnp.asarray(moments),
+                tables=jnp.asarray(launch.tables),
+            ),
+        }
+
+    def run(args_by_launch):
+        outs_by_launch = {}
+        for lkey, launch in plan.launches.items():
+            schema = launch.schema
+            fb = schema.fetch_blocks
+            a = args_by_launch[repr(lkey)]
+            has_mo = a["moments"] is not None
+            # _decode_call returns 1 plane for 32-bit non-fused latents,
+            # else (lo, hi) planes
+            n_outs = 1 if (schema.lat32 and not schema.fuse) else 2
+
+            def kernel(lr, ls, cu, st, bn, ti, tb, mo=None, schema=schema,
+                       fb=fb):
+                sec = pd._realign(lr[0], ls[0], fb)
+                return pd._decode_call(schema, sec, tb, cu, st, bn, ti, mo)
+
+            sh = P(axis)
+            in_specs = [sh, sh, sh, sh, sh, sh, P()]
+            operands = [a["local_raw"], a["local_starts"], a["curs"],
+                        a["states0"], a["bodyn"], a["tbl_ids"], a["tables"]]
+            if has_mo:
+                in_specs.append(sh)
+                operands.append(a["moments"])
+            f = shard_map(
+                kernel if has_mo else
+                (lambda lr, ls, cu, st, bn, ti, tb, k=kernel:
+                 k(lr, ls, cu, st, bn, ti, tb)),
+                mesh=mesh,
+                in_specs=tuple(in_specs),
+                out_specs=tuple([sh] * n_outs),
+            )
+            outs = f(*operands)
+            T = prepared[lkey]["n_tiles"]
+            outs_by_launch[lkey] = tuple(o[:T] for o in outs)
+        return pd._post_chunks(plan, outs_by_launch)
+
+    args_by_launch = {repr(k): v["args"] for k, v in prepared.items()}
+    results = jax.jit(run)(args_by_launch)
 
     nt = plan.idx.nt
     pieces = []
-    for cp in plan.chunks:
+    for cp, res in zip(plan.chunks, results):
         if cp.fallback is not None:
             pieces.append(cp.fallback)
             continue
-        vp = cp.var_plans["primary"]
-        rows = mem[vp.chain_start : vp.chain_start + cp.n_pages]
-        n_valid = (cp.n_pages - 1) * schema.page_n + int(cp.page_ns[-1])
-        flat = np.ascontiguousarray(rows.reshape(-1, 2)[:n_valid])
-        pieces.append(flat.view(np.uint64).reshape(-1).view(nt.np_dtype))
+        mem = np.asarray(res)
+        if mem.ndim == 2:  # fused int32 little-endian word pairs
+            mem = np.ascontiguousarray(mem).view(np.uint64).reshape(-1)
+        pieces.append(mem.astype(nt.latent.np_dtype).view(nt.np_dtype))
     from pcodec_tpu.utils import concat
 
+    if not pieces:
+        return np.zeros(0, dtype=nt.np_dtype)
     return concat(pieces)
 
 

@@ -52,6 +52,24 @@ def test_mesh_shapes():
 
 
 @needs_mesh
+def test_sharded_container_decode_all_modes():
+    # the general sharded decode covers every launch group: multi-var
+    # IntMult and the f64 FloatMult softfloat join run the kernels per
+    # tile shard and the XLA post on the gathered outputs
+    from pcodec_tpu.codec.container import container_compress
+    from pcodec_tpu.parallel.sharding import make_mesh, sharded_container_decode
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    y = (rng.integers(0, 5000, 8192) * 1000 + rng.integers(0, 3, 8192)).astype(np.int64)
+    out = sharded_container_decode(container_compress(y, None, page_n=256), mesh)
+    assert np.array_equal(out, y)
+    z = (rng.integers(-50000, 50000, 8192) * 0.01).astype(np.float64)
+    out = sharded_container_decode(container_compress(z, None, page_n=256), mesh)
+    assert np.array_equal(out.view(np.uint64), z.view(np.uint64))
+
+
+@needs_mesh
 def test_sharded_container_encode_bit_exact():
     # SURVEY §5 encode half: EB/EC kernels run per-device on page-tile
     # shards; gathered sections assemble to the exact single-device bytes
