@@ -84,36 +84,6 @@ def sharded_decode_standalone(data: bytes, mesh: Mesh = None):
     return concat(pieces)
 
 
-def sharded_roundtrip_step(mesh: Mesh, arrays, node_flat, lower_flat, schema: TaskSchema):
-    """A jitted, mesh-sharded "full step": decode all shards and psum a
-    checksum across the mesh (exercises a real collective over the task
-    sharding). Used by the multichip dry run."""
-    axis = mesh.axis_names[0]
-    shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-
-    @partial(jax.jit, static_argnames=("schema",))
-    def step(*args, schema=None):
-        out = decode_group_kernel(*args, schema=schema)
-        checksum = jnp.sum(out.astype(jnp.float64))
-        return out, checksum
-
-    arrays, true_t = pad_group_to_devices(arrays, mesh.devices.size)
-    # sharding propagates from the input placement: task axis over the mesh,
-    # ANS tables replicated
-    args = tuple(jax.device_put(jnp.asarray(a), shard) for a in arrays) + (
-        jax.device_put(jnp.asarray(node_flat), repl),
-        jax.device_put(jnp.asarray(lower_flat), repl),
-    )
-    out, checksum = step(*args, schema=schema)
-    return np.asarray(out)[:true_t], float(checksum)
-
-
-# ---------------------------------------------------------------------------
-# container path: shard Pallas decode tiles across the mesh (shard_map)
-# ---------------------------------------------------------------------------
-
-
 def sharded_container_decode(data: bytes, mesh: Mesh = None, plan=None):
     """Bit-exact sharded PCT decode with per-device byte-range scatter.
 
@@ -251,85 +221,3 @@ def sharded_container_decode(data: bytes, mesh: Mesh = None, plan=None):
     if not pieces:
         return np.zeros(0, dtype=nt.np_dtype)
     return concat(pieces)
-
-
-def sharded_container_decode_checksum(data: bytes, mesh: Mesh = None):
-    """Decode a PCT container with decode tiles sharded data-parallel across
-    the mesh, psum-reducing a checksum across devices (the collective rides
-    ICI). Chunk tables are replicated (KB-scale); compressed words are
-    replicated too (each device realigns only its own tiles' sections — on a
-    real pod the outer format would instead ship each host its byte ranges).
-
-    Returns (checksum_i32, n_chains). Single-launch containers only (the
-    common homogeneous case); use ops.pallas_decode directly otherwise.
-    """
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is not None:
-        shard_map = partial(shard_map, check_vma=False)
-    else:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map as _sm
-        shard_map = partial(_sm, check_rep=False)
-
-    import pcodec_tpu.ops.pallas_decode as pd
-
-    mesh = mesh or make_mesh()
-    axis = mesh.axis_names[0]
-    nd = mesh.devices.size
-    plan = pd.plan_container(data)
-    assert len(plan.launches) == 1, "sharded demo expects one launch group"
-    (lkey, launch), = plan.launches.items()
-    schema = launch.schema
-
-    # pad tiles to a multiple of the mesh
-    n_tiles = launch.curs.shape[0]
-    pad = (-n_tiles) % nd
-    def padt(a):
-        if pad == 0:
-            return a
-        z = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
-        return np.concatenate([a, z])
-    curs = padt(launch.curs)
-    states0 = padt(launch.states0)
-    bodyn = padt(launch.bodyn)
-    tbl_ids = padt(launch.tbl_ids)
-    starts = launch.starts_blk
-    spad = (-len(starts)) % (nd * 256)
-    starts = np.concatenate([starts, np.zeros(spad, starts.dtype)])
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(),
-    )
-    def step(raw2d, starts_blk, curs, states0, bodyn, tbl_ids, tables):
-        sec = pd._realign(raw2d, starts_blk, schema.fetch_blocks)
-        outs = pd._decode_call(schema, sec, tables, curs, states0, bodyn, tbl_ids)
-        # psum over i32 (wrapping checksum): the backend only lowers plain
-        # 32-bit sum all-reduces
-        local = sum(jnp.sum(o, dtype=jnp.int32) for o in outs)
-        return jax.lax.psum(local.reshape(1), axis)
-
-    out = jax.jit(step)(
-        jnp.asarray(plan.raw2d), jnp.asarray(starts), jnp.asarray(curs),
-        jnp.asarray(states0), jnp.asarray(bodyn), jnp.asarray(tbl_ids),
-        jnp.asarray(launch.tables),
-    )
-    return int(np.asarray(out)[0]), launch.n_chains
-
-
-def sharded_container_encode(nums, config=None, mesh: Mesh = None,
-                             page_n: int = 1024, chunk_n: int = 1 << 20):
-    """Bit-exact sharded PCT encode (SURVEY §5: the encode half of the comm
-    design). Training decisions are host/planner work exactly as in the
-    single-chip path; the EB/EC dissect+pack kernels run under shard_map
-    with page-tile shards per device, and the per-page section streams
-    gather back for host file assembly in file order. Output bytes are
-    identical to the single-device encoder (and therefore to the host
-    pipeline).
-    """
-    from pcodec_tpu.ops.pallas_encode import encode_container_device
-
-    mesh = mesh or make_mesh()
-    return encode_container_device(nums, config, page_n=page_n,
-                                   chunk_n=chunk_n, shard_mesh=mesh)
