@@ -221,3 +221,20 @@ def sharded_container_decode(data: bytes, mesh: Mesh = None, plan=None):
     if not pieces:
         return np.zeros(0, dtype=nt.np_dtype)
     return concat(pieces)
+
+
+def sharded_container_encode(nums, config=None, mesh: Mesh = None,
+                             page_n: int = 1024, chunk_n: int = 1 << 20):
+    """Bit-exact sharded PCT encode (SURVEY §5: the encode half of the comm
+    design). Training decisions are host/planner work exactly as in the
+    single-chip path; the EB/EC dissect+pack kernels run under shard_map
+    with page-tile shards per device, and the per-page section streams
+    gather back for host file assembly in file order. Output bytes are
+    identical to the single-device encoder (and therefore to the host
+    pipeline).
+    """
+    from pcodec_tpu.ops.pallas_encode import encode_container_device
+
+    mesh = mesh or make_mesh()
+    return encode_container_device(nums, config, page_n=page_n,
+                                   chunk_n=chunk_n, shard_mesh=mesh)
