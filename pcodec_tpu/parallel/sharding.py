@@ -95,6 +95,10 @@ def sharded_container_decode(data: bytes, mesh: Mesh = None, plan=None):
     under shard_map, and the XLA post (delta reconstruction, mode joins,
     ragged trim) runs on the gathered global outputs inside the same jit.
     Returns the decoded numpy array.
+
+    Pass plan=pallas_decode.plan_standalone(data) to shard-decode a plain
+    standalone .pco file through the same path (chains = the synthetic
+    1024-splits the standalone planner creates).
     """
     shard_map = getattr(jax, "shard_map", None)
     if shard_map is not None:
