@@ -517,6 +517,10 @@ def _decode_unsigneds(r: Reader, prefixes, n):
     if not prefixes:
         raise _corrupt("no prefixes for nonempty chunk body")
     max_depth = max(len(p.code) for p in prefixes)
+    if max_depth > 24:
+        # the encoder's Huffman codes top out around 23 bits (flags.rs);
+        # refuse rather than allocate a 2^depth flat table for a crafted file
+        raise _corrupt(f"prefix code too deep ({max_depth} bits)")
     # flat lookup over max_depth peeked bits; the code set must tile the
     # tree exactly (num_decompressor.rs validate_prefix_tree)
     table: List[Optional[Prefix]] = [None] * (1 << max_depth)

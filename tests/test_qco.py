@@ -157,6 +157,29 @@ class TestRoundTrip:
             else:
                 assert np.array_equal(got, x)
 
+    def test_truncation_and_bitflip_fuzz(self):
+        # every prefix must raise PcoError, never crash or hang
+        # (q_compress/src/tests/stability.rs analog)
+        from pcodec_tpu.errors import PcoError
+
+        rng = np.random.default_rng(10)
+        x = np.cumsum(rng.integers(0, 50, 3000)).astype(np.int64)
+        blob = qco_compress(x, delta_order=1)
+        for cut in list(range(0, 40)) + list(
+                range(40, len(blob), max(1, len(blob) // 60))):
+            try:
+                got, _ = qco_decompress(blob[:cut])
+                assert len(got) <= len(x)
+            except PcoError:
+                pass
+        flip = bytearray(blob)
+        for pos in rng.integers(0, len(blob), 40):
+            flip[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            qco_decompress(bytes(flip))
+        except PcoError:
+            pass
+
     def test_ratio_on_reference_like_data(self):
         # sanity: the codec actually compresses (brownian f32 ~ several x)
         rng = np.random.default_rng(8)
