@@ -75,10 +75,31 @@ _SPEC_HINTS: Dict[tuple, dict] = {}
 
 def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: int) -> bool:
     """Chunks the device-train path covers; everything else falls back to the
-    host pipeline (same output, slower). Every auto-mode winner is covered:
-    Classic, IntMult (// base), FloatQuant (>> k with sign flip), and
-    FloatMult (integer softfloat split, ops/softfloat.py)."""
-    if config.mode_spec.kind not in (ModeSpec.AUTO, ModeSpec.CLASSIC):
+    host pipeline (same output, slower). Every auto-mode winner is covered —
+    Classic, IntMult (// base), FloatQuant (>> k with sign flip), FloatMult
+    (integer softfloat split, ops/softfloat.py) — plus the pinned Try*
+    specs of those modes (Dict stays host: auto never selects it)."""
+    ms = config.mode_spec
+    if ms.kind in (ModeSpec.AUTO, ModeSpec.CLASSIC):
+        pass
+    elif ms.kind == ModeSpec.TRY_INT_MULT:
+        if nt.kind == "float" or int(ms.value) < 2:
+            return False
+    elif ms.kind == ModeSpec.TRY_FLOAT_QUANT:
+        if nt.kind != "float" or not 1 <= int(ms.value) < nt.latent.bits:
+            return False
+    elif ms.kind == ModeSpec.TRY_FLOAT_MULT:
+        if nt.kind != "float":
+            return False
+        # the softfloat split needs base AND inv_base normal
+        for v in (nt.np_dtype.type(ms.value),
+                  nt.np_dtype.type(1.0) / nt.np_dtype.type(ms.value)):
+            bits = int(np.asarray(v, nt.np_dtype).view(nt.latent.np_dtype))
+            eb_mask = (1 << (nt.latent.bits - nt.precision_bits - 1)) - 1
+            eb = (bits >> nt.precision_bits) & eb_mask
+            if eb == 0 or eb == eb_mask:
+                return False
+    else:
         return False
     if config.delta_spec.kind not in (
         cmp.DeltaSpec.AUTO,
@@ -1276,7 +1297,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                page_n, n_chunks, lat2d, rowlen, nt.latent.bits, f_params)
     hint_key = (
         tuple(chunk_ns), page_n, str(np.dtype(nums.dtype)), level,
-        config.mode_spec.kind, config.delta_spec.kind,
+        config.mode_spec.kind, getattr(config.mode_spec, "value", None),
+        config.delta_spec.kind,
         config.delta_spec.order, config.enable_8_bit,
     )
     spec_hint = _SPEC_HINTS.get(hint_key)
@@ -1371,6 +1393,18 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     quant_ks[ci] = int(fq[0])
                 elif fm is not None:
                     fmult_bases[ci] = (fm[0], fm[1])
+
+    # pinned Try* specs: every chunk gets the user's mode (validated by
+    # device_train_supported); no sampling or auction
+    ms = config.mode_spec
+    if ms.kind == ModeSpec.TRY_INT_MULT:
+        int_bases = {ci: int(ms.value) for ci in range(n_chunks)}
+    elif ms.kind == ModeSpec.TRY_FLOAT_QUANT:
+        quant_ks = {ci: int(ms.value) for ci in range(n_chunks)}
+    elif ms.kind == ModeSpec.TRY_FLOAT_MULT:
+        base_v = nt.np_dtype.type(ms.value)
+        inv_v = nt.np_dtype.type(1.0) / base_v
+        fmult_bases = {ci: (base_v, inv_v) for ci in range(n_chunks)}
 
     # unified per-chunk primary transform: latent // base (FloatQuant's
     # primary latent is exactly latent >> k == latent // 2^k); FloatMult

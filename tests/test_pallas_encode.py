@@ -197,6 +197,42 @@ class TestDeviceTrainPlan:
                 host_cc.write_meta(wh)
                 assert wd.to_bytes() == wh.to_bytes(), ci
 
+    def test_try_modes_meta_matches_host(self):
+        """Pinned Try* mode specs ride the device planner too: the split
+        parameters are user-given, so no sampling/auction runs."""
+        from dataclasses import replace
+
+        from pcodec_tpu import ModeSpec
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(17)
+        cases = [
+            (ModeSpec(ModeSpec.TRY_INT_MULT, 777), "int_mult",
+             (rng.integers(0, 9000, 131072) * 777
+              + rng.integers(0, 3, 131072)).astype(np.int64)),
+            (ModeSpec(ModeSpec.TRY_FLOAT_QUANT, 13), "float_quant",
+             rng.normal(0, 1, 131072).astype(np.float16).astype(np.float32)),
+            (ModeSpec(ModeSpec.TRY_FLOAT_MULT, 0.01), "float_mult",
+             (rng.integers(-50000, 50000, 131072) * 0.01).astype(np.float64)),
+        ]
+        for ms, kind, x in cases:
+            cfg = ChunkConfig(mode_spec=ms)
+            planned = plan_encode_device(x, cfg, 256, 131072)
+            assert planned is not None, kind
+            nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+            assert all(k == "device" for k, _ in chunk_jobs), kind
+            hcfg = replace(cfg, paging_spec=PagingSpec.exact_pages(
+                [256] * (chunk_ns[0] // 256)))
+            host_cc = cmp.chunk_compressor(nt, x[: chunk_ns[0]], hcfg)
+            assert host_cc.meta.mode.kind == kind
+            wd, wh = BitWriter(), BitWriter()
+            ccs[0].write_meta(wd)
+            host_cc.write_meta(wh)
+            assert wd.to_bytes() == wh.to_bytes(), kind
+
     def test_float_specials_meta_matches_host(self):
         """NaN/inf/-0.0/subnormal values outside the decision sample flow
         through the device softfloat split; trained metadata must stay
@@ -315,6 +351,18 @@ class TestDeviceTrain:
                  .astype(np.float64))
         self._dt((rng.integers(-5000, 5000, 200_000) * 0.1)
                  .astype(np.float32))
+
+    def test_try_modes_device(self):
+        # pinned Try* specs: full device encode, byte-identical
+        from pcodec_tpu import ModeSpec
+
+        rng = np.random.default_rng(17)
+        self._dt((rng.integers(0, 9000, 200_000) * 777
+                  + rng.integers(0, 3, 200_000)).astype(np.int64),
+                 ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_INT_MULT, 777)))
+        self._dt((rng.integers(-50000, 50000, 200_000) * 0.01)
+                 .astype(np.float64),
+                 ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_FLOAT_MULT, 0.01)))
 
     def test_float_specials_device_two_var(self):
         # NaN/inf/-0.0/subnormals outside the sample must split bit-exactly
