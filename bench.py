@@ -59,10 +59,42 @@ def get_compressed(nums):
     return data, dt
 
 
+def wait_for_device(max_secs=900):
+    """The axon tunnel can be transiently unavailable and jax.devices()
+    then hangs indefinitely in-process. Probe via a killable subprocess
+    and retry for a while before committing this process to the import."""
+    import subprocess
+
+    deadline = time.time() + max_secs
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, timeout=240, capture_output=True,
+            )
+            return True
+        except Exception as e:
+            if time.time() > deadline:
+                print(
+                    json.dumps({
+                        "metric": "container_decode_taxi_like_i64",
+                        "value": 0.0, "unit": "GB/s/chip", "vs_baseline": 0.0,
+                        "error": f"TPU tunnel unavailable after {attempt} probes "
+                                 f"({type(e).__name__})",
+                    })
+                )
+                sys.exit(1)
+            time.sleep(30)
+
+
 def main():
     nums = make_data()
     data, compress_secs = get_compressed(nums)
     ratio = nums.nbytes / len(data)
+
+    wait_for_device()
 
     import jax
     import jax.numpy as jnp

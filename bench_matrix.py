@@ -138,6 +138,9 @@ def time_device(plan_fn, data, expect_u64_sum):
 
 
 def main():
+    from bench import wait_for_device
+
+    wait_for_device()
     from pcodec_tpu.codec.container import container_compress, container_decompress
     from pcodec_tpu.codec.standalone import simple_compress, simple_decompress
     import pcodec_tpu.ops.pallas_decode as pd
