@@ -157,6 +157,18 @@ class TestRoundTrip:
             else:
                 assert np.array_equal(got, x)
 
+    def test_wide_types_python_path(self):
+        # i128 / 96-bit timestamps ride the pure-Python int path
+        rng = np.random.default_rng(3)
+        vals = [int(v) * (1 << 70) + int(w) for v, w in
+                zip(rng.integers(-500, 500, 800), rng.integers(0, 1000, 800))]
+        got, dt = qco_decompress(qco_compress(vals, "i128", delta_order=1))
+        assert dt == "i128" and got == vals
+        ts = [int(v) + 10**15 for v in rng.integers(0, 10**9, 500)]
+        got, dt = qco_decompress(
+            qco_compress(ts, "timestamp_micros96", delta_order=2))
+        assert dt == "timestamp_micros96" and got == ts
+
     def test_truncation_and_bitflip_fuzz(self):
         # every prefix must raise PcoError, never crash or hang
         # (q_compress/src/tests/stability.rs analog)
