@@ -1,0 +1,23 @@
+#!/bin/bash
+# Runbook for when the axon tunnel recovers. Run pieces individually.
+set -x
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+
+# 1. float-mode + specials device encode tests (NEW this round)
+PCODEC_TEST_PLATFORM=tpu timeout 3000 python -m pytest \
+  "tests/test_pallas_encode.py::TestDeviceTrain" -q \
+  2>&1 | tail -3
+
+# 2. encode bench with phase trace (twice: cold + spec-hint warm)
+PCODEC_TRAIN_TRACE=1 timeout 1200 python bench.py 2>&1 | tail -25
+
+# 3. five-config matrix -> BENCH_MATRIX_r02.json
+timeout 3000 python bench_matrix.py 2>&1 | tail -10
+
+# 4. full TPU matrix refresh (shard by file)
+for f in test_pallas_container test_device_decode test_standalone_pallas \
+         test_device_lookback_conv1 test_pallas_encode; do
+  PCODEC_TEST_PLATFORM=tpu timeout 3000 python -m pytest "tests/$f.py" -q \
+    2>&1 | tail -2
+done
