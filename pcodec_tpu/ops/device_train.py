@@ -77,10 +77,10 @@ def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: 
     """Chunks the device-train path covers; everything else falls back to the
     host pipeline (same output, slower). Every auto-mode winner is covered —
     Classic, IntMult (// base), FloatQuant (>> k with sign flip), FloatMult
-    (integer softfloat split, ops/softfloat.py) — plus the pinned Try*
-    specs of those modes (Dict stays host: auto never selects it)."""
+    (integer softfloat split, ops/softfloat.py) — plus every pinned Try*
+    spec (TRY_DICT splits on device via _phase_dict)."""
     ms = config.mode_spec
-    if ms.kind in (ModeSpec.AUTO, ModeSpec.CLASSIC):
+    if ms.kind in (ModeSpec.AUTO, ModeSpec.CLASSIC, ModeSpec.TRY_DICT):
         pass
     elif ms.kind == ModeSpec.TRY_INT_MULT:
         if nt.kind == "float" or int(ms.value) < 2:
@@ -227,6 +227,75 @@ def _phase_float_keep(nums_dev, draw_idx, mid, exp_mask, max_bits):
     ab = b & udt(mid - 1)
     exp = b & udt(exp_mask)
     return (exp != 0) & (exp != udt(exp_mask)) & (ab <= udt(max_bits))
+
+
+# first dict fetch carries this many dictionary entries alongside the
+# per-chunk unique counts; larger dictionaries take one more (sized) fetch
+_DICT_FETCH0 = 4096
+
+
+@partial(jax.jit, static_argnames=("kind", "mid", "n_chunks", "dcap"))
+def _phase_dict(nums_dev, chunk_starts, kind, mid, n_chunks, dcap):
+    """TRY_DICT mode split on device (ref: mode/dict.rs:9-51; the host
+    equivalent is modes/dict_mode.py). Per chunk: unique latents sorted by
+    frequency descending (ties in ascending-value order, matching the host's
+    stable argsort over np.unique output), plus the u32 dictionary index of
+    every element.
+
+    Everything is static-shaped: uniques live in flat n-sized buffers with
+    one block per chunk (block ci starts at uid_base[ci] = cumsum of the
+    unique counts), pads sink below real entries in every sort.
+
+    Returns (idx_flat u32 [n] — the primary latents, uniq_freq flat u64 [n]
+    device handle, small fetch buffer u64 [n_chunks + dcap] =
+    [U per chunk | first dcap freq-ordered uniques])."""
+    bits = nums_dev.dtype.itemsize * 8
+    udt = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32, 64: jnp.uint64}[bits]
+    lat = jax.lax.bitcast_convert_type(nums_dev, udt)
+    if kind == "signed":
+        lat = lat ^ udt(mid)
+    elif kind == "float":
+        sign = udt(mid)
+        neg = (lat & sign) != 0
+        lat = jnp.where(neg, ~lat, lat ^ sign)
+    lat = lat.astype(jnp.uint64)
+    n = lat.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    cid = (jnp.searchsorted(chunk_starts, pos, side="right") - 1).astype(jnp.uint32)
+    # group by (chunk, value); carry original positions for the scatter back
+    cid_s, lat_s, pos_s = jax.lax.sort((cid, lat, pos), num_keys=2)
+    bnd = jnp.concatenate([
+        jnp.ones(1, bool),
+        (cid_s[1:] != cid_s[:-1]) | (lat_s[1:] != lat_s[:-1]),
+    ])
+    uid = jnp.cumsum(bnd.astype(jnp.int32)) - 1  # global, value-asc per chunk
+    counts = jnp.zeros(n, jnp.uint32).at[uid].add(jnp.uint32(1))
+    val_of_uid = jnp.zeros(n, jnp.uint64).at[uid].max(lat_s)
+    cid_of_uid = jnp.full(n, 0xFFFFFFFF, jnp.uint32).at[uid].min(cid_s)
+    # frequency order per chunk: stable sort of uids by (chunk, count desc);
+    # stability keeps equal-count uids in ascending-value order and sinks
+    # the pad uids (count 0, chunk sentinel) below every real entry
+    inv_cnt = jnp.uint32(0xFFFFFFFF) - counts
+    uidx = jnp.arange(n, dtype=jnp.int32)
+    _, _, uid_perm = jax.lax.sort(
+        (cid_of_uid, inv_cnt, uidx), num_keys=2, is_stable=True
+    )
+    uniq_freq = val_of_uid[uid_perm]
+    rank_global = jnp.zeros(n, jnp.uint32).at[uid_perm].set(uidx.astype(jnp.uint32))
+    U = jnp.zeros(n_chunks, jnp.uint32).at[cid_s.astype(jnp.int32)].add(
+        bnd.astype(jnp.uint32))
+    uid_base = jnp.concatenate([
+        jnp.zeros(1, jnp.uint32), jnp.cumsum(U)[:-1].astype(jnp.uint32)
+    ])
+    idx_sorted = rank_global[uid] - uid_base[cid_s.astype(jnp.int32)]
+    idx_flat = jnp.zeros(n, jnp.uint32).at[pos_s].set(idx_sorted)
+    small = jnp.concatenate([U.astype(jnp.uint64), uniq_freq[:dcap]])
+    return idx_flat, uniq_freq, small
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _slice_prefix(a, cap):
+    return a[:cap]
 
 
 @partial(jax.jit, static_argnames=("max_order", "n_chunks", "rows_per_chunk",
@@ -1159,6 +1228,23 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         nums_dev = jnp.asarray(nums)
     is_float_auto = nt.kind == "float" and config.mode_spec.kind == ModeSpec.AUTO
 
+    # TRY_DICT: the mode split runs on device FIRST (_phase_dict); the rest
+    # of the pipeline then trains on the u32 index latents exactly like a
+    # Classic chunk (dict primary latent type is U32, ref: metadata/mode.rs:200)
+    is_dict = config.mode_spec.kind == ModeSpec.TRY_DICT
+    plt = lt  # primary latent type for decisions/bins (dict: U32)
+    dict_uniq_dev = dict_small_d = None
+    if is_dict:
+        from pcodec_tpu.dtypes import U32
+
+        starts_np = np.concatenate([[0], np.cumsum(chunk_ns)[:-1]]).astype(np.int64)
+        nums_dev, dict_uniq_dev, dict_small_d = _phase_dict(
+            nums_dev, jnp.asarray(starts_np), kind=nt.kind, mid=int(lt.mid),
+            n_chunks=n_chunks, dcap=min(n, _DICT_FETCH0),
+        )
+        plt = U32
+        _t0 = _trace("dict split dispatch", _t0)
+
     # float mode sampling: accepted draws depend on per-draw keep flags
     # (normal floats below the sampling cap), fetched in a pre-pass
     draws_cache: Dict[int, object] = {}
@@ -1278,9 +1364,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         nums_dev, mode_idx_dev, delta_idx_dev,
         jnp.asarray(gcd_starts), jnp.asarray(gcd_lens),
         jnp.asarray(cand_starts), jnp.asarray(cand_lens_np),
-        kind=nt.kind, mid=int(nt.latent.mid), total_rows=total_rows,
+        kind="unsigned" if is_dict else nt.kind,
+        mid=0 if is_dict else int(nt.latent.mid), total_rows=total_rows,
         page_n=page_n, int_auto=int_auto_eff, gcd_m_max=gcd_m_max,
-        cand_meta=tuple(cand_meta), lat_bits=lt.bits,
+        cand_meta=tuple(cand_meta), lat_bits=plt.bits,
         fetch_mode_s=is_float_auto,
     )
     _t0 = _trace("stage1 dispatch", _t0)
@@ -1294,7 +1381,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         if nt.kind == "float" else None
     )
     ph2_ctx = (ubls, chunk_ns, pages_per_chunk, rows_per_chunk, total_rows,
-               page_n, n_chunks, lat2d, rowlen, nt.latent.bits, f_params)
+               page_n, n_chunks, lat2d, rowlen, plt.bits, f_params)
     hint_key = (
         tuple(chunk_ns), page_n, str(np.dtype(nums.dtype)), level,
         config.mode_spec.kind, getattr(config.mode_spec, "value", None),
@@ -1323,6 +1410,24 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     def _delta_samples() -> np.ndarray:
         ds_thread.join()
         return ds_box["v"]
+
+    dict_payloads = None
+    if is_dict:
+        # dictionaries (metadata payloads): the per-chunk unique counts plus
+        # the first _DICT_FETCH0 freq-ordered uniques came in one buffer;
+        # bigger dictionaries take one more fetch sized to the total
+        dict_small = np.asarray(dict_small_d)
+        U_arr = dict_small[:n_chunks].astype(np.int64)
+        total_U = int(U_arr.sum())
+        got = dict_small[n_chunks:]
+        if total_U > len(got):
+            cap = min(1 << (total_U - 1).bit_length(), n)
+            got = np.asarray(_slice_prefix(dict_uniq_dev, cap))
+        dict_payloads, base = [], 0
+        for u in U_arr:
+            dict_payloads.append(got[base : base + int(u)].astype(lt.np_dtype))
+            base += int(u)
+        _t0 = _trace("dict fetch", _t0)
 
     off = 0
     gcd_np = None
@@ -1466,7 +1571,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 delta_s_dev, jnp.asarray(starts_g),
                 jnp.asarray(lens_g), n_chunks=len(cis),
                 m_max=int(lens_g.max()), max_order=STAGE1_ORDERS,
-                nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
+                nb_log=ubl_g, lat_bits=plt.bits, window_n_log=4,
                 include_lookback=False, **_cand_split_kw(cis),
             )
             rq_handles.append((ubl_g, cis, lens_g, devs))
@@ -1496,7 +1601,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 a, m = delta_spans[ci]
                 sample = _host_primary_sample(ci, _delta_samples()[a : a + m])
                 delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
-                    sample.astype(lt.np_dtype), cn, int(ubls[ci]), lt
+                    sample.astype(plt.np_dtype), cn, int(ubls[ci]), plt
                 )
         unbroken: Dict[int, list] = {}
         chain_items = [
@@ -1505,7 +1610,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
         def _chain_of(item):
             ci, cb = item
-            return cmp.extend_orders_chain([], cb, int(ubls[ci]), lt)
+            return cmp.extend_orders_chain([], cb, int(ubls[ci]), plt)
 
         if len(chain_items) > 3:
             # the bin DP inside each eval is native (GIL released)
@@ -1529,7 +1634,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     delta_s_dev, jnp.asarray(starts_g),
                     jnp.asarray(lens_g), n_chunks=len(cis),
                     m_max=int(lens_g.max()), max_order=mo,
-                    nb_log=ubl_g, lat_bits=lt.bits, window_n_log=4,
+                    nb_log=ubl_g, lat_bits=plt.bits, window_n_log=4,
                     include_lookback=False, min_order=STAGE1_ORDERS + 1,
                     **_cand_split_kw(cis),
                 )
@@ -1545,7 +1650,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                         for j in range(n_cand2)
                     ]
                     chain, _ = cmp.extend_orders_chain(
-                        spec_chains[ci], more, ubl_g, lt)
+                        spec_chains[ci], more, ubl_g, plt)
                     spec_chains[ci] = chain
             _t0 = _trace("stage2 cands", _t0)
         for ci, chain in spec_chains.items():
@@ -1642,8 +1747,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             sample = _host_primary_sample(ci, ds[a : a + dn])
             penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
             return cmp.lookback_cost_from_sample(
-                sample.astype(lt.np_dtype), int(ubls[ci]),
-                cmp.new_lookback(dn), lt,
+                sample.astype(plt.np_dtype), int(ubls[ci]),
+                cmp.new_lookback(dn), plt,
             ) + penalty
 
         # the hot loops (lookback chooser, bin DP) are native and release
@@ -1716,13 +1821,13 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         nr = int(nreal[ci])
         nb_log = int(ubls[ci])
         has_sec = ci in prim_bases or ci in fmult_map
-        trained = _train_from_histogram(hist_bins[ci], nr, nb_log, lt)
-        bins = cmp.bins_from_infos(trained.infos, lt)
+        trained = _train_from_histogram(hist_bins[ci], nr, nb_log, plt)
+        bins = cmp.bins_from_infos(trained.infos, plt)
         lvc = cmp.LatentVarCompressor(trained, bins, None)
         var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
         lvcs_pv = PerLatentVar(None, lvc, None)
         counts = PerLatentVar(None, trained.counts, None)
-        mode = Mode(Mode.CLASSIC)
+        mode = Mode(Mode.DICT, dict_payloads[ci]) if is_dict else Mode(Mode.CLASSIC)
         if has_sec:
             # IntMult / FloatQuant: secondary (adjustment) var trained from
             # its own device walk; NOOP delta (auto never sets
@@ -1750,7 +1855,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         meta = cmp.ChunkMeta(mode, encs[ci], var_metas, nt.latent)
         page_infos = _device_page_infos(
             pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt,
-            has_secondary=has_sec,
+            has_secondary=has_sec, state_dtype=plt.np_dtype,
         )
         cand = cmp.ChunkCompressor(meta, lvcs_pv, page_infos)
         if cand.should_fallback(nt.latent, cn, counts):
@@ -1833,11 +1938,11 @@ class _DevicePageInfos:
     (metadata/page_latent_var.rs:18-50)."""
 
     def __init__(self, per_page: List[int], order: int, chunk_moments: np.ndarray, nt,
-                 has_secondary: bool = False):
+                 has_secondary: bool = False, state_dtype=None):
         self.per_page = per_page
         self.order = order
         self.has_secondary = has_secondary
-        ldt = nt.latent.np_dtype
+        ldt = state_dtype if state_dtype is not None else nt.latent.np_dtype
         self.empty = np.zeros(0, dtype=ldt)
         if order:
             self.states = np.ascontiguousarray(
@@ -1869,5 +1974,6 @@ class _DevicePageInfos:
 
 
 def _device_page_infos(per_page: List[int], order: int, chunk_moments: np.ndarray, nt,
-                       has_secondary: bool = False):
-    return _DevicePageInfos(per_page, order, chunk_moments, nt, has_secondary)
+                       has_secondary: bool = False, state_dtype=None):
+    return _DevicePageInfos(per_page, order, chunk_moments, nt, has_secondary,
+                            state_dtype)

@@ -233,6 +233,54 @@ class TestDeviceTrainPlan:
             host_cc.write_meta(wh)
             assert wd.to_bytes() == wh.to_bytes(), kind
 
+    def test_dict_device_meta_matches_host(self):
+        """TRY_DICT splits on device (_phase_dict): frequency-ordered
+        dictionary + u32 index latents, then the pipeline trains on the
+        indices like Classic with latent type U32 (metadata/mode.rs:200).
+        Metadata (dict payload, bins, delta) must match the host split."""
+        from dataclasses import replace
+
+        from pcodec_tpu import DeltaSpec, ModeSpec
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(43)
+        vocab_i = rng.integers(-(10**12), 10**12, 300)
+        vocab_f = rng.normal(0, 1e6, 500)
+        big_vocab = rng.integers(0, 2**60, 6000)  # > _DICT_FETCH0 uniques
+        cases = [
+            # multi-chunk, equal-count ties exercise the value-order tiebreak
+            (None, vocab_i[rng.integers(0, 300, 262144)].astype(np.int64)),
+            (None, vocab_f[rng.integers(0, 500, 131072)].astype(np.float64)),
+            # two chunks x ~6000 uniques: total exceeds the first fetch cap
+            (None, big_vocab[rng.integers(0, 6000, 262144)].astype(np.uint64)),
+            # pinned consecutive delta on the u32 indices (wrap + u32 states)
+            (DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, 1),
+             vocab_i[np.minimum(rng.integers(0, 300, 131072).cumsum() % 600, 299)]
+             .astype(np.int64)),
+        ]
+        for ds, x in cases:
+            cfg = ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT))
+            if ds is not None:
+                cfg = replace(cfg, delta_spec=ds)
+            planned = plan_encode_device(x, cfg, 256, 131072)
+            assert planned is not None
+            nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+            assert all(k == "device" for k, _ in chunk_jobs)
+            start = 0
+            for ci, cn in enumerate(chunk_ns):
+                hcfg = replace(cfg, paging_spec=PagingSpec.exact_pages(
+                    [256] * (cn // 256)))
+                host_cc = cmp.chunk_compressor(nt, x[start : start + cn], hcfg)
+                start += cn
+                assert host_cc.meta.mode.kind == "dict"
+                wd, wh = BitWriter(), BitWriter()
+                ccs[ci].write_meta(wd)
+                host_cc.write_meta(wh)
+                assert wd.to_bytes() == wh.to_bytes(), ci
+
     def test_float_specials_meta_matches_host(self):
         """NaN/inf/-0.0/subnormal values outside the decision sample flow
         through the device softfloat split; trained metadata must stay
@@ -363,6 +411,19 @@ class TestDeviceTrain:
         self._dt((rng.integers(-50000, 50000, 200_000) * 0.01)
                  .astype(np.float64),
                  ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_FLOAT_MULT, 0.01)))
+
+    def test_dict_device(self):
+        # TRY_DICT: device mode split (_phase_dict) + kernel encode of the
+        # u32 index latents, byte-identical files
+        from pcodec_tpu import ModeSpec
+
+        rng = np.random.default_rng(43)
+        vocab = rng.integers(-(10**12), 10**12, 300)
+        self._dt(vocab[rng.integers(0, 300, 200_000)].astype(np.int64),
+                 ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)))
+        vocab_f = rng.normal(0, 1e6, 500)
+        self._dt(vocab_f[rng.integers(0, 500, 200_000)].astype(np.float64),
+                 ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)))
 
     def test_float_specials_device_two_var(self):
         # NaN/inf/-0.0/subnormals outside the sample must split bit-exactly

@@ -4,7 +4,7 @@ set -x
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
-# 1. float-mode + specials device encode tests (NEW this round)
+# 1. float-mode + specials + TRY_DICT device encode tests (NEW this round)
 PCODEC_TEST_PLATFORM=tpu timeout 3000 python -m pytest \
   "tests/test_pallas_encode.py::TestDeviceTrain" -q \
   2>&1 | tail -3
