@@ -43,16 +43,26 @@ def make_data():
     return np.cumsum(incs).astype(np.int64)
 
 
+# TPU-profile experiment knob: cap trained ans_size_log (smaller tANS
+# tables -> proportionally cheaper select trees in the decode kernel).
+# Unset = reference-equivalent training. See ChunkConfig.ans_size_log_cap.
+ANS_CAP = os.environ.get("PCODEC_BENCH_ANS_CAP")
+ANS_CAP = int(ANS_CAP) if ANS_CAP else None
+
+
 def get_compressed(nums):
-    key = hashlib.sha256(nums[:1000].tobytes() + f"{len(nums)}-pct".encode()).hexdigest()[:16]
+    tag = f"{len(nums)}-pct-a{ANS_CAP}" if ANS_CAP else f"{len(nums)}-pct"
+    key = hashlib.sha256(nums[:1000].tobytes() + tag.encode()).hexdigest()[:16]
     path = f"{CACHE}_{key}_p1024.pct"
     if os.path.exists(path):
         with open(path, "rb") as f:
             return f.read(), 0.0
     from pcodec_tpu.codec.container import container_compress
+    from pcodec_tpu.codec.chunk_config import ChunkConfig
 
+    cfg = ChunkConfig(ans_size_log_cap=ANS_CAP) if ANS_CAP else None
     t0 = time.time()
-    data = container_compress(nums)
+    data = container_compress(nums, cfg)
     dt = time.time() - t0
     with open(path, "wb") as f:
         f.write(data)

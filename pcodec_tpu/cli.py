@@ -108,6 +108,7 @@ def build_config(args) -> ChunkConfig:
         delta_spec=delta_spec,
         paging_spec=PagingSpec.equal_pages_up_to(args.chunk_n),
         enable_8_bit=True,
+        ans_size_log_cap=getattr(args, "ans_cap", None),
     )
 
 
@@ -316,6 +317,9 @@ def main(argv=None):
         sp.add_argument("--delta", default=None,
                         help="auto|none|consecutive:K|lookback|conv1:K")
         sp.add_argument("--chunk-n", type=int, default=1 << 18)
+        sp.add_argument("--ans-cap", type=int, default=None,
+                        help="TPU profile: cap trained ans_size_log "
+                             "(smaller tANS tables decode faster on TPU)")
         sp.add_argument("--dtype", default=None, help="i32/i64/u32/u64/f32/f64/...")
         sp.add_argument("--col", default=None, help="column name (csv/parquet inputs)")
 

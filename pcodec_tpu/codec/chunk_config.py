@@ -75,8 +75,23 @@ class ChunkConfig:
     delta_spec: DeltaSpec = field(default_factory=DeltaSpec)
     paging_spec: PagingSpec = field(default_factory=PagingSpec)
     enable_8_bit: bool = False
+    # TPU-profile extension (not in the reference): cap the trained
+    # ans_size_log. Smaller tANS tables make the decode kernel's in-VMEM
+    # select trees proportionally cheaper (tree cost ~ table_size/128 lane
+    # gathers per symbol) at a small ratio cost from coarser weight
+    # quantization. Files stay standard pco — ans_size_log is ordinary
+    # chunk metadata. Applied at final training only, so mode/delta
+    # decisions (and host/device byte-identity) are unaffected by the cap.
+    ans_size_log_cap: Optional[int] = None
 
     def validate(self, latent_type: LatentType) -> None:
+        if self.ans_size_log_cap is not None and not (
+            1 <= self.ans_size_log_cap <= c.MAX_ANS_BITS
+        ):
+            raise InvalidArgumentError(
+                f"ans_size_log_cap must be in [1, {c.MAX_ANS_BITS}] "
+                f"(was {self.ans_size_log_cap})"
+            )
         if self.compression_level > c.MAX_COMPRESSION_LEVEL:
             raise InvalidArgumentError(
                 f"compression level may not exceed {c.MAX_COMPRESSION_LEVEL} "

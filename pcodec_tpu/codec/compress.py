@@ -74,10 +74,13 @@ def choose_unoptimized_bins_log(compression_level: int, n: int) -> int:
     return fast + (compression_level - fast) // 2
 
 
-def train_infos(latents: np.ndarray, unoptimized_bins_log: int, latent_type: LatentType) -> TrainedBins:
+def train_infos(latents: np.ndarray, unoptimized_bins_log: int, latent_type: LatentType,
+                ans_cap: Optional[int] = None) -> TrainedBins:
     """histogram → optimal merge DP → ANS weight quantization.
 
-    ref: chunk_compressor.rs:54-101.
+    ref: chunk_compressor.rs:54-101. ans_cap (TPU profile, see
+    ChunkConfig.ans_size_log_cap) bounds the estimate; quantize_weights
+    still raises size_log to fit the bin count when needed.
     """
     if len(latents) == 0:
         return TrainedBins([], 0, [])
@@ -86,6 +89,8 @@ def train_infos(latents: np.ndarray, unoptimized_bins_log: int, latent_type: Lat
     unopt = histogram(latents, unoptimized_bins_log, sort_in_place=True)
     n_log_ceil = 0 if n_latents <= 1 else (n_latents - 1).bit_length()
     estimated_ans_size_log = min(unoptimized_bins_log + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
+    if ans_cap is not None:
+        estimated_ans_size_log = min(estimated_ans_size_log, ans_cap)
 
     infos = optimize_bins(unopt, estimated_ans_size_log, latent_type)
     counts = [i.weight for i in infos]
@@ -454,8 +459,11 @@ def new_candidate(
     delta_encoding: DeltaEncoding,
     unoptimized_bins_log: int,
     number_latent_type: LatentType,
+    ans_cap: Optional[int] = None,
 ):
-    """ref: chunk_compressor.rs:221-289."""
+    """ref: chunk_compressor.rs:221-289. ans_cap applies at this final
+    training only (sample-cost estimation passes None, so mode/delta
+    decisions are cap-independent)."""
     latents, page_infos = delta_encode_and_build_page_infos(
         delta_encoding, n_per_page, primary, secondary
     )
@@ -480,7 +488,7 @@ def new_candidate(
             for p in page_infos
         ]
         contiguous = concat(parts) if parts else var_latents[:0]
-        trained = train_infos(contiguous, ubl, lt)
+        trained = train_infos(contiguous, ubl, lt, ans_cap)
         bins = bins_from_infos(trained.infos, lt)
         lvcs.set(key, LatentVarCompressor(trained, bins, var_latents))
         var_metas.set(key, ChunkLatentVarMeta(trained.ans_size_log, bins))
@@ -523,13 +531,16 @@ def _compressed_sample_size(sample: np.ndarray, ubl: int, delta_encoding: DeltaE
     return float(cc.meta_size_hint() + cc._page_size_hint_inner(0, 1.0))
 
 
-def train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type):
+def train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type,
+                         ans_cap: Optional[int] = None):
     """train_infos with the histogram precomputed (device-train feeds
     device-walked bins; decision math identical to train_infos)."""
     if n_latents == 0:
         return TrainedBins([], 0, [])
     n_log_ceil = 0 if n_latents <= 1 else (n_latents - 1).bit_length()
     estimated = min(unoptimized_bins_log + 2, c.MAX_COMPRESSION_LEVEL, n_log_ceil)
+    if ans_cap is not None:
+        estimated = min(estimated, ans_cap)
     infos = optimize_bins(unopt, estimated, latent_type)
     counts = [i.weight for i in infos]
     ans_size_log, weights = ans.quantize_weights(counts, n_latents, estimated)
@@ -900,7 +911,8 @@ def chunk_compressor(nt: NumberType, nums: np.ndarray, config: ChunkConfig) -> C
 
     n_per_page = config.paging_spec.n_per_page(n)
     candidate, bin_counts = new_candidate(
-        primary, secondary, n_per_page, mode, delta_encoding, ubl, nt.latent
+        primary, secondary, n_per_page, mode, delta_encoding, ubl, nt.latent,
+        ans_cap=config.ans_size_log_cap,
     )
     if candidate.should_fallback(nt.latent, n, bin_counts):
         return fallback_chunk_compressor(nt, nums, n_per_page)

@@ -123,6 +123,7 @@ def container_compress(
             delta_spec=config.delta_spec,
             paging_spec=PagingSpec.exact_pages(_exact_split(cn, page_n)),
             enable_8_bit=config.enable_8_bit,
+            ans_size_log_cap=config.ans_size_log_cap,
         )
         cc = fc.chunk_compressor(nums[start : start + cn], chunk_config)
         start += cn

@@ -1811,6 +1811,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 delta_spec=config.delta_spec,
                 paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci]),
                 enable_8_bit=config.enable_8_bit,
+                ans_size_log_cap=config.ans_size_log_cap,
             )
             ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start, start + cn), chunk_config)
             chunk_jobs[ci] = ("host", None)
@@ -1821,7 +1822,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         nr = int(nreal[ci])
         nb_log = int(ubls[ci])
         has_sec = ci in prim_bases or ci in fmult_map
-        trained = _train_from_histogram(hist_bins[ci], nr, nb_log, plt)
+        trained = _train_from_histogram(hist_bins[ci], nr, nb_log, plt,
+                                        config.ans_size_log_cap)
         bins = cmp.bins_from_infos(trained.infos, plt)
         lvc = cmp.LatentVarCompressor(trained, bins, None)
         var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
@@ -1833,7 +1835,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             # its own device walk; NOOP delta (auto never sets
             # secondary_uses_delta)
             ubl_sec = min(nb_log, c.LIMITED_UNOPTIMIZED_BINS_LOG)
-            trained_s = _train_from_histogram(sec_bins[ci], cn, ubl_sec, lt)
+            trained_s = _train_from_histogram(sec_bins[ci], cn, ubl_sec, lt,
+                                              config.ans_size_log_cap)
             bins_s = cmp.bins_from_infos(trained_s.infos, lt)
             lvc_s = cmp.LatentVarCompressor(trained_s, bins_s, None)
             var_metas = PerLatentVar(
@@ -1912,6 +1915,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 delta_spec=config.delta_spec,
                 paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci]),
                 enable_8_bit=config.enable_8_bit,
+                ans_size_log_cap=config.ans_size_log_cap,
             )
             ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start - cn, start), chunk_config)
             chunk_jobs[ci] = ("host", None)
@@ -1924,9 +1928,11 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     return nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows
 
 
-def _train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type):
+def _train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type,
+                          ans_cap=None):
     """train_infos (codec/compress.py) with the histogram precomputed."""
-    return cmp.train_from_histogram(unopt, n_latents, unoptimized_bins_log, latent_type)
+    return cmp.train_from_histogram(unopt, n_latents, unoptimized_bins_log,
+                                    latent_type, ans_cap)
 
 
 class _DevicePageInfos:

@@ -791,6 +791,7 @@ def _plan_encode(nums, config, page_n, chunk_n):
             delta_spec=config.delta_spec,
             paging_spec=PagingSpec.exact_pages(ctn._exact_split(cn, page_n)),
             enable_8_bit=config.enable_8_bit,
+            ans_size_log_cap=config.ans_size_log_cap,
         )
         ccs.append(chunk_compressor(nt, nums[start : start + cn], chunk_config))
         start += cn

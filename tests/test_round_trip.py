@@ -144,3 +144,58 @@ def test_level_0_and_12():
     nums = np.cumsum(rng.integers(-5, 6, 2000)).astype(np.int32)
     for level in (0, 4, 12):
         round_trip(nums, cfg(compression_level=level))
+
+
+def test_ans_size_log_cap():
+    """TPU-profile ans_size_log cap: files stay standard pco (decode with
+    the normal path), tables shrink to the cap, ratio cost is small, and
+    the device-train planner makes identical metadata under the cap."""
+    import pcodec_tpu.codec.compress as cmp
+    from pcodec_tpu.dtypes import number_type_from_np
+
+    rng = np.random.default_rng(77)
+    nums = np.cumsum(rng.integers(0, 120, 200_000)).astype(np.int64)
+    plain = round_trip(nums)
+    capped = round_trip(nums, cfg(ans_size_log_cap=7))
+    # small ratio cost from coarser weight quantization
+    assert len(capped) <= len(plain) * 1.02
+    nt = number_type_from_np(np.dtype(np.int64))
+    cc = cmp.chunk_compressor(nt, nums, cfg(ans_size_log_cap=7))
+    for key in ("delta", "primary", "secondary"):
+        m = cc.meta.per_latent_var.get(key)
+        if m is not None:
+            assert m.ans_size_log <= 7, key
+    # cap below the bin count: quantize_weights raises size_log to fit
+    many = rng.integers(0, 1 << 14, 100_000).astype(np.int64)
+    round_trip(many, cfg(ans_size_log_cap=1))
+    # invalid caps rejected
+    with pytest.raises(Exception):
+        cfg(ans_size_log_cap=0).validate(number_type_from_np(np.dtype(np.int64)).latent)
+    with pytest.raises(Exception):
+        cfg(ans_size_log_cap=15).validate(number_type_from_np(np.dtype(np.int64)).latent)
+
+
+def test_ans_cap_device_train_meta_matches_host():
+    """The cap applies at final training only, so the device-train planner
+    and the host pipeline still emit byte-identical chunk metadata."""
+    from pcodec_tpu.format.bitio import BitWriter
+    from pcodec_tpu.ops.device_train import plan_encode_device
+    import pcodec_tpu.codec.compress as cmp
+    from pcodec_tpu.dtypes import number_type_from_np
+
+    rng = np.random.default_rng(78)
+    x = np.cumsum(rng.integers(0, 120, 131072)).astype(np.int64)
+    config = cfg(ans_size_log_cap=7)
+    planned = plan_encode_device(x, config, 256, 131072)
+    assert planned is not None
+    nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+    assert chunk_jobs[0][0] == "device"
+    host_cc = cmp.chunk_compressor(
+        nt, x[: chunk_ns[0]],
+        cfg(ans_size_log_cap=7,
+            paging_spec=PagingSpec.exact_pages([256] * (chunk_ns[0] // 256))))
+    wd, wh = BitWriter(), BitWriter()
+    ccs[0].write_meta(wd)
+    host_cc.write_meta(wh)
+    assert wd.to_bytes() == wh.to_bytes()
+    assert host_cc.meta.per_latent_var.get("primary").ans_size_log <= 7

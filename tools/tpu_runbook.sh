@@ -12,6 +12,11 @@ PCODEC_TEST_PLATFORM=tpu timeout 3000 python -m pytest \
 # 2. encode bench with phase trace (twice: cold + spec-hint warm)
 PCODEC_TRAIN_TRACE=1 timeout 1200 python bench.py 2>&1 | tail -25
 
+# 2b. ans-cap TPU profile: expect decode well above 5.06 GB/s (select trees
+# shrink 8x at cap 7 for +0.01% size); flip the bench default if it wins
+PCODEC_BENCH_ANS_CAP=7 timeout 1200 python bench.py 2>&1 | tail -3
+PCODEC_BENCH_ANS_CAP=8 timeout 1200 python bench.py 2>&1 | tail -3
+
 # 3. five-config matrix -> BENCH_MATRIX_r02.json
 timeout 3000 python bench_matrix.py 2>&1 | tail -10
 
