@@ -43,6 +43,12 @@ U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _TRAIN_TRACE = bool(int(__import__("os").environ.get("PCODEC_TRAIN_TRACE", "0")))
 
+# A/B: 1 = evaluate the lookback delta candidate on the host from a fetched
+# delta sample (the pre-round-2 path); 0 (default) = run the chooser scan on
+# device and fetch only packed bins, keeping the ~10 MB sample transfer off
+# the encode critical path. Outputs are byte-identical either way.
+_LB_HOST = bool(int(__import__("os").environ.get("PCODEC_LB_HOST", "0")))
+
 
 def _prefetch(*arrays):
     """Start async device->host copies so later np.asarray calls hit the
@@ -776,23 +782,26 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "include_lookback", "has_bases", "min_order", "f_params"))
+    "include_lookback", "has_bases", "min_order", "f_params", "lookback_only"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
                             include_lookback=True, bases=None, has_bases=False,
-                            min_order=0, fmult_invb=None, f_params=None):
+                            min_order=0, fmult_invb=None, f_params=None,
+                            lookback_only=False):
     """Histogram bins for auto-delta candidates, reduced on device.
 
     Candidates per chunk (row-major in the output): noop, consecutive 1..
     max_order, and (include_lookback only) lookback primary deltas +
     lookback values. The host runs the reference decision
     (chunk_compressor.rs:341-395) from the bins alone. The production plan
-    uses include_lookback=False: the 16-candidate chooser is latency-bound
-    on device (a ~21k-step sequential scan of ~1us HBM ops), so the
-    lookback candidate is evaluated on the HOST from one batched sample
-    fetch, overlapped with phase B — safe because the final decision is
-    provably either the orders-only (speculated) choice or lookback itself,
-    and lookback-winning chunks route to the host pipeline anyway."""
+    uses include_lookback=False in stage 1 and, for the chunks whose noop
+    cost clears the lookback penalty, a second lookback_only=True dispatch
+    (just the chooser scan + the two lookback rows, no consecutive
+    cascade): the host computes the lookback cost from those bins via
+    sample_cost_from_unopt — identical float math to
+    lookback_cost_from_sample — so the big delta-sample transfer never
+    leaves the device (PCODEC_LB_HOST=1 restores the host-sample A/B
+    path). Lookback-winning chunks route to the host pipeline anyway."""
     pos = jnp.arange(m_max, dtype=jnp.int32)[None, :]
     idx = jnp.clip(starts[:, None] + pos, 0, delta_s.shape[0] - 1)
     valid = pos < lens[:, None]
@@ -817,26 +826,27 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
 
     rows = []
     n_stored_rows = []
-    if min_order == 0:
-        # noop: raw sample values
-        rows.append(jnp.where(valid, sm, U64_MAX))
-        n_stored_rows.append(lens64)
-    # consecutive orders (iterative wrapping diffs, junk fronts excluded)
-    out = sm
     col = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 1)
-    for o in range(max_order):
-        diff = out - jnp.roll(out, 1, axis=1)
-        if mask is not None:
-            diff = diff & mask
-        out = jnp.where(col > o, diff, out)
-        k = o + 1
-        if k < min_order:
-            continue  # the diff cascade still runs; only sorts are skipped
-        vals = toggle(out)
-        rows.append(jnp.where((col >= k) & valid, vals, U64_MAX))
-        n_stored_rows.append(jnp.maximum(lens64 - k, 0))
+    if not lookback_only:
+        if min_order == 0:
+            # noop: raw sample values
+            rows.append(jnp.where(valid, sm, U64_MAX))
+            n_stored_rows.append(lens64)
+        # consecutive orders (iterative wrapping diffs, junk fronts excluded)
+        out = sm
+        for o in range(max_order):
+            diff = out - jnp.roll(out, 1, axis=1)
+            if mask is not None:
+                diff = diff & mask
+            out = jnp.where(col > o, diff, out)
+            k = o + 1
+            if k < min_order:
+                continue  # the diff cascade still runs; only sorts are skipped
+            vals = toggle(out)
+            rows.append(jnp.where((col >= k) & valid, vals, U64_MAX))
+            n_stored_rows.append(jnp.maximum(lens64 - k, 0))
     # lookback: chooser + primary deltas + the lookback latent var
-    if not include_lookback:
+    if not include_lookback and not lookback_only:
         n_cand = len(rows)
         sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
         n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
@@ -1401,14 +1411,22 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # overlaps the host decision math below
     buf = np.asarray(buf_d)
     ds_box: Dict[str, np.ndarray] = {}
-    ds_thread = threading.Thread(
-        target=lambda: ds_box.__setitem__("v", np.asarray(delta_s_dev))
-    )
-    ds_thread.start()
+    ds_thread = None
+    if _LB_HOST:
+        # host-sample lookback A/B: start the big transfer early so it
+        # overlaps the host decision math below
+        ds_thread = threading.Thread(
+            target=lambda: ds_box.__setitem__("v", np.asarray(delta_s_dev))
+        )
+        ds_thread.start()
     _t0 = _trace("stage1 fetch", _t0)
 
     def _delta_samples() -> np.ndarray:
-        ds_thread.join()
+        if ds_thread is not None:
+            ds_thread.join()
+        elif "v" not in ds_box:
+            # rare: only degenerate (<2-sample) chunks need host samples
+            ds_box["v"] = np.asarray(delta_s_dev)
         return ds_box["v"]
 
     dict_payloads = None
@@ -1679,6 +1697,36 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         encs[ci] = enc
         orders[ci] = enc.order if enc.kind == DeltaEncoding.CONSECUTIVE else 0
 
+    # ---- lookback candidate dispatch (device chooser + bins) ----
+    # evaluated whenever the reference would (noop cost > penalty); the
+    # chooser scan runs on device and only packed bins come back, so the
+    # delta sample never leaves the device (PCODEC_LB_HOST=1 A/B's the old
+    # host-sample path)
+    lb_pending = [
+        ci for ci in spec_chains
+        if encs[ci] is not None
+        and spec_chains[ci][0]
+        > cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * delta_spans[ci][1]
+    ] if is_delta_auto else []
+    lb_handles = []
+    if lb_pending and not _LB_HOST:
+        lb_q: Dict[tuple, list] = {}
+        for ci in lb_pending:
+            wnl = int(cmp.new_lookback(delta_spans[ci][1]).window_n_log)
+            lb_q.setdefault((int(ubls[ci]), wnl), []).append(ci)
+        for (ubl_g, wnl_g), cis in sorted(lb_q.items()):
+            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+            devs = _phase_delta_candidates(
+                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
+                n_chunks=len(cis), m_max=int(lens_g.max()), max_order=0,
+                nb_log=ubl_g, lat_bits=plt.bits, window_n_log=wnl_g,
+                include_lookback=True, lookback_only=True,
+                **_cand_split_kw(cis),
+            )
+            lb_handles.append((ubl_g, cis, lens_g, devs))
+        _t0 = _trace("lookback dispatch", _t0)
+
     # ---- phase 2 decision compare + (re)dispatch ----
 
     live = np.array([e is not None for e in encs], dtype=bool)
@@ -1727,19 +1775,33 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     for t in fetch_threads:
         t.start()
 
-    # ---- host lookback candidate (overlaps device phase B + walk) ----
-    # evaluated whenever the reference would (noop cost > penalty), from the
-    # stage-1 sample (already on host); if the true decision differs from
-    # the speculated chain (== lookback wins, per the chain theorem above),
-    # the chunk flips to the host pipeline, which re-derives everything
-    # from the numbers.
-    lb_pending = [
-        ci for ci in spec_chains
-        if encs[ci] is not None
-        and spec_chains[ci][0]
-        > cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * delta_spans[ci][1]
-    ]
-    if lb_pending:
+    # ---- lookback candidate evaluation ----
+    # if the true decision differs from the speculated chain (== lookback
+    # wins, per the chain theorem above), the chunk flips to the host
+    # pipeline, which re-derives everything from the numbers.
+    def _apply_lb_cost(ci, lb_cost):
+        true = cmp.finalize_delta_choice(spec_chains[ci], lb_cost, chunk_ns[ci])
+        enc = encs[ci]
+        if (true.kind, true.order) != (enc.kind, enc.order):
+            encs[ci] = None  # lookback (or theorem violation): host path
+
+    if lb_pending and not _LB_HOST:
+        # device bins (dispatched above): identical float math to
+        # lookback_cost_from_sample — same chooser (pinned to the native
+        # one), same histogram walk, same cost path
+        for ubl_g, cis, lens_g, (dense_d, nbn_d) in lb_handles:
+            per_row = _fetch_packed_bins(dense_d, nbn_d)
+            for k, ci in enumerate(cis):
+                dn = int(lens_g[k])
+                lb_cost = cmp.sample_cost_from_unopt(
+                    cmp.new_lookback(dn),
+                    {"delta": (per_row[2 * k + 1], dn - 1),
+                     "primary": (per_row[2 * k], dn - 1)},
+                    ubl_g, plt,
+                ) + cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
+                _apply_lb_cost(ci, lb_cost)
+    elif lb_pending:
+        # host-sample A/B path (PCODEC_LB_HOST=1)
         ds = _delta_samples()
 
         def _lb_cost(ci):
@@ -1761,11 +1823,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         else:
             lb_costs = [_lb_cost(ci) for ci in lb_pending]
         for ci, lb_cost in zip(lb_pending, lb_costs):
-            true = cmp.finalize_delta_choice(spec_chains[ci], lb_cost, chunk_ns[ci])
-            enc = encs[ci]
-            if (true.kind, true.order) != (enc.kind, enc.order):
-                encs[ci] = None  # lookback (or theorem violation): host path
-    _t0 = _trace("lookback host eval", _t0)
+            _apply_lb_cost(ci, lb_cost)
+    _t0 = _trace("lookback eval", _t0)
 
     for t in fetch_threads:
         t.join()

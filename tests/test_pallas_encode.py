@@ -233,6 +233,63 @@ class TestDeviceTrainPlan:
             host_cc.write_meta(wh)
             assert wd.to_bytes() == wh.to_bytes(), kind
 
+    def test_lookback_eval_device_bins_matches_host_sample(self):
+        """The lookback delta candidate is costed from device-reduced bins
+        (chooser scan on device, ~24 B/bin fetched) instead of a multi-MB
+        delta-sample transfer; decisions and metadata must be identical to
+        both the host-sample A/B path (PCODEC_LB_HOST=1) and the host
+        pipeline, whether lookback wins (-> host-pipeline chunk) or loses
+        (-> device chunk)."""
+        import pcodec_tpu.ops.device_train as dt
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.codec import container as ctn
+        from pcodec_tpu.format.bitio import BitWriter
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(55)
+        cases = {
+            # repetitive with noise: lookback wins
+            "lb_wins": np.tile(rng.integers(0, 10**6, 700), 300)[:200_000]
+            .astype(np.int64) + rng.integers(0, 2, 200_000),
+            # taxi-like: lookback evaluated (noop cost clears the penalty)
+            # but consecutive wins
+            "lb_loses": np.cumsum(rng.integers(0, 120, 200_000)).astype(np.int64),
+        }
+        expect = {"lb_wins": ("lookback", "host"),
+                  "lb_loses": ("consecutive", "device")}
+
+        def run():
+            out = {}
+            for name, x in cases.items():
+                planned = dt.plan_encode_device(x, None, 256, 131072)
+                assert planned is not None, name
+                nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+                start = 0
+                for ci, cn in enumerate(chunk_ns):
+                    hcfg = ChunkConfig(paging_spec=PagingSpec.exact_pages(
+                        ctn._exact_split(cn, 256)))
+                    host_cc = cmp.chunk_compressor(nt, x[start : start + cn], hcfg)
+                    start += cn
+                    wd, wh = BitWriter(), BitWriter()
+                    ccs[ci].write_meta(wd)
+                    host_cc.write_meta(wh)
+                    assert wd.to_bytes() == wh.to_bytes(), (name, ci)
+                    out.setdefault(name, []).append(
+                        (host_cc.meta.delta_encoding.kind, chunk_jobs[ci][0]))
+            return out
+
+        old = dt._LB_HOST
+        try:
+            dt._LB_HOST = False
+            dev_bins = run()
+            dt._LB_HOST = True
+            host_sample = run()
+        finally:
+            dt._LB_HOST = old
+        assert dev_bins == host_sample
+        for name, rows in dev_bins.items():
+            assert all(r == expect[name] for r in rows), (name, rows)
+
     def test_dict_device_meta_matches_host(self):
         """TRY_DICT splits on device (_phase_dict): frequency-ordered
         dictionary + u32 index latents, then the pipeline trains on the

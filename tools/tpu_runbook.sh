@@ -9,8 +9,10 @@ PCODEC_TEST_PLATFORM=tpu timeout 3000 python -m pytest \
   "tests/test_pallas_encode.py::TestDeviceTrain" -q \
   2>&1 | tail -3
 
-# 2. encode bench with phase trace (twice: cold + spec-hint warm)
+# 2. encode bench with phase trace (twice: cold + spec-hint warm);
+#    A/B the lookback eval: device bins (default) vs host sample fetch
 PCODEC_TRAIN_TRACE=1 timeout 1200 python bench.py 2>&1 | tail -25
+PCODEC_TRAIN_TRACE=1 PCODEC_LB_HOST=1 timeout 1200 python bench.py 2>&1 | tail -25
 
 # 2b. ans-cap TPU profile: expect decode well above 5.06 GB/s (select trees
 # shrink 8x at cap 7 for +0.01% size); flip the bench default if it wins
