@@ -18,7 +18,8 @@ from pcodec_tpu.codec.container import (  # noqa: F401
     container_decompress,
     parse_container,
 )
-from pcodec_tpu.constants import FULL_BATCH_N  # noqa: F401
+from pcodec_tpu.constants import DEFAULT_COMPRESSION_LEVEL, FULL_BATCH_N  # noqa: F401
+from pcodec_tpu import standalone  # noqa: F401  (pcodec.standalone module shape)
 from pcodec_tpu.errors import (  # noqa: F401
     CorruptionError,
     InsufficientDataError,

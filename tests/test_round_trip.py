@@ -199,3 +199,34 @@ def test_ans_cap_device_train_meta_matches_host():
     host_cc.write_meta(wh)
     assert wd.to_bytes() == wh.to_bytes()
     assert host_cc.meta.per_latent_var.get("primary").ans_size_log <= 7
+
+
+def test_reference_python_module_shape():
+    """Drop-in module shape of the reference pco_python binding
+    (ref: pco_python/src/lib.rs:17-53): top-level config classes +
+    pcodec.standalone functions + pcodec.wrapped classes, with the
+    reference's return conventions (simple_decompress -> array | None)."""
+    import pcodec_tpu as pcodec
+
+    for name in ("ChunkConfig", "ModeSpec", "DeltaSpec", "PagingSpec",
+                 "Progress", "DEFAULT_COMPRESSION_LEVEL", "__version__"):
+        assert hasattr(pcodec, name), name
+    x = np.arange(500, dtype=np.int64)
+    blob = pcodec.standalone.simple_compress(x, pcodec.ChunkConfig())
+    out = pcodec.standalone.simple_decompress(blob)
+    np.testing.assert_array_equal(out, x)
+    dst = np.zeros(500, dtype=np.int64)
+    prog = pcodec.standalone.simple_decompress_into(blob, dst)
+    assert prog.finished and prog.n_processed == 500
+    np.testing.assert_array_equal(dst, x)
+    # terminator-only file -> None (reference returns PyNone)
+    empty = pcodec.standalone.simple_compress(np.zeros(0, dtype=np.int64),
+                                              pcodec.ChunkConfig())
+    assert pcodec.standalone.simple_decompress(empty) is None
+    # guarantee helpers under the standalone module
+    from pcodec_tpu.dtypes import number_type_from_np
+    lt = number_type_from_np(np.dtype(np.int64)).latent
+    assert pcodec.standalone.chunk_size(lt, 500) >= len(blob) - 50
+    for name in ("FileCompressor", "ChunkCompressor", "FileDecompressor",
+                 "ChunkDecompressor"):
+        assert hasattr(pcodec.wrapped, name), name
