@@ -48,6 +48,8 @@ def make_data():
 # Unset = reference-equivalent training. See ChunkConfig.ans_size_log_cap.
 ANS_CAP = os.environ.get("PCODEC_BENCH_ANS_CAP")
 ANS_CAP = int(ANS_CAP) if ANS_CAP else None
+# encode-train A/B: bigger chunks = fewer per-chunk host decisions/metas
+CHUNK_N = int(os.environ.get("PCODEC_BENCH_CHUNK_N", str(1 << 20)))
 
 
 def get_compressed(nums):
@@ -150,9 +152,9 @@ def main():
 
     nums_dev = jnp.asarray(nums)
     _ = int(jnp.sum(nums_dev, dtype=jnp.int64)[None][0])  # force upload
-    planned = dt.plan_encode_device(nums_dev, None, 1024, 1 << 20)  # compile warmup
+    planned = dt.plan_encode_device(nums_dev, None, 1024, CHUNK_N)  # compile warmup
     t0 = time.time()
-    planned = dt.plan_encode_device(nums_dev, None, 1024, 1 << 20)
+    planned = dt.plan_encode_device(nums_dev, None, 1024, CHUNK_N)
     train_secs = time.time() - t0
     _, _, _, chunk_jobs, groups, dev_rows = planned
     assert all(kind == "device" for kind, _ in chunk_jobs)

@@ -13,6 +13,8 @@ PCODEC_TEST_PLATFORM=tpu timeout 3000 python -m pytest \
 #    A/B the lookback eval: device bins (default) vs host sample fetch
 PCODEC_TRAIN_TRACE=1 timeout 1200 python bench.py 2>&1 | tail -25
 PCODEC_TRAIN_TRACE=1 PCODEC_LB_HOST=1 timeout 1200 python bench.py 2>&1 | tail -25
+# 2a. chunk-size A/B for encode train (fewer chunks = less host work)
+PCODEC_TRAIN_TRACE=1 PCODEC_BENCH_CHUNK_N=$((1<<22)) timeout 1200 python bench.py 2>&1 | tail -25
 
 # 2b. ans-cap TPU profile: expect decode well above 5.06 GB/s (select trees
 # shrink 8x at cap 7 for +0.01% size); flip the bench default if it wins
