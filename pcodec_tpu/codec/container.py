@@ -36,7 +36,7 @@ aligned for the device kernels).
 """
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from typing import List, Optional
 
 import numpy as np
@@ -117,13 +117,8 @@ def container_compress(
     off_secs: List[np.ndarray] = []
     start = 0
     for cn in chunk_ns:
-        chunk_config = ChunkConfig(
-            compression_level=config.compression_level,
-            mode_spec=config.mode_spec,
-            delta_spec=config.delta_spec,
-            paging_spec=PagingSpec.exact_pages(_exact_split(cn, page_n)),
-            enable_8_bit=config.enable_8_bit,
-            ans_size_log_cap=config.ans_size_log_cap,
+        chunk_config = _dc_replace(
+            config, paging_spec=PagingSpec.exact_pages(_exact_split(cn, page_n))
         )
         cc = fc.chunk_compressor(nums[start : start + cn], chunk_config)
         start += cn

@@ -18,7 +18,7 @@ Bins, ANS tables, and all emitted bytes are identical to the host pipeline;
 tests/test_pallas_encode.py asserts byte equality.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -782,26 +782,27 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "include_lookback", "has_bases", "min_order", "f_params", "lookback_only"))
+    "cands", "has_bases", "min_order", "f_params"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
-                            include_lookback=True, bases=None, has_bases=False,
-                            min_order=0, fmult_invb=None, f_params=None,
-                            lookback_only=False):
+                            cands="orders+lookback", bases=None, has_bases=False,
+                            min_order=0, fmult_invb=None, f_params=None):
     """Histogram bins for auto-delta candidates, reduced on device.
 
-    Candidates per chunk (row-major in the output): noop, consecutive 1..
-    max_order, and (include_lookback only) lookback primary deltas +
-    lookback values. The host runs the reference decision
+    cands selects the candidate rows: "orders" = noop + consecutive
+    min_order..max_order; "orders+lookback" adds the lookback primary
+    deltas + lookback values; "lookback" computes ONLY the two lookback
+    rows (no consecutive cascade). The host runs the reference decision
     (chunk_compressor.rs:341-395) from the bins alone. The production plan
-    uses include_lookback=False in stage 1 and, for the chunks whose noop
-    cost clears the lookback penalty, a second lookback_only=True dispatch
+    uses cands="orders" in stage 1 and, for the chunks whose noop
+    cost clears the lookback penalty, a second cands="lookback" dispatch
     (just the chooser scan + the two lookback rows, no consecutive
     cascade): the host computes the lookback cost from those bins via
     sample_cost_from_unopt — identical float math to
     lookback_cost_from_sample — so the big delta-sample transfer never
     leaves the device (PCODEC_LB_HOST=1 restores the host-sample A/B
     path). Lookback-winning chunks route to the host pipeline anyway."""
+    assert cands in ("orders", "orders+lookback", "lookback"), cands
     pos = jnp.arange(m_max, dtype=jnp.int32)[None, :]
     idx = jnp.clip(starts[:, None] + pos, 0, delta_s.shape[0] - 1)
     valid = pos < lens[:, None]
@@ -827,7 +828,7 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     rows = []
     n_stored_rows = []
     col = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 1)
-    if not lookback_only:
+    if cands != "lookback":
         if min_order == 0:
             # noop: raw sample values
             rows.append(jnp.where(valid, sm, U64_MAX))
@@ -846,7 +847,7 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
             rows.append(jnp.where((col >= k) & valid, vals, U64_MAX))
             n_stored_rows.append(jnp.maximum(lens64 - k, 0))
     # lookback: chooser + primary deltas + the lookback latent var
-    if not include_lookback and not lookback_only:
+    if cands == "orders":
         n_cand = len(rows)
         sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
         n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
@@ -870,7 +871,7 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     rows.append(jnp.where(col < (lens64 - 1)[:, None], lb_vals, U64_MAX))
     n_stored_rows.append(jnp.maximum(lens64 - 1, 0))
 
-    n_cand = len(rows)  # max_order + 3
+    n_cand = len(rows)  # orders+lookback: max_order + 3; lookback: 2
     sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
     n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
     co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
@@ -973,7 +974,7 @@ def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
             delta_s, cand_starts[pos : pos + g_n], cand_lens[pos : pos + g_n],
             n_chunks=g_n, m_max=g_m, max_order=STAGE1_ORDERS,
             nb_log=g_nb, lat_bits=lat_bits, window_n_log=4,
-            include_lookback=False,
+            cands="orders",
         )
         parts += [nbn.astype(jnp.uint64), dense.reshape(-1)]
         pos += g_n
@@ -1590,7 +1591,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 jnp.asarray(lens_g), n_chunks=len(cis),
                 m_max=int(lens_g.max()), max_order=STAGE1_ORDERS,
                 nb_log=ubl_g, lat_bits=plt.bits, window_n_log=4,
-                include_lookback=False, **_cand_split_kw(cis),
+                cands="orders", **_cand_split_kw(cis),
             )
             rq_handles.append((ubl_g, cis, lens_g, devs))
         for ubl_g, cis, lens_g, (dense_d, nbn_d) in rq_handles:
@@ -1653,7 +1654,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     jnp.asarray(lens_g), n_chunks=len(cis),
                     m_max=int(lens_g.max()), max_order=mo,
                     nb_log=ubl_g, lat_bits=plt.bits, window_n_log=4,
-                    include_lookback=False, min_order=STAGE1_ORDERS + 1,
+                    cands="orders", min_order=STAGE1_ORDERS + 1,
                     **_cand_split_kw(cis),
                 )
                 s2_handles.append((ubl_g, cis, lens_g, devs))
@@ -1721,7 +1722,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
                 n_chunks=len(cis), m_max=int(lens_g.max()), max_order=0,
                 nb_log=ubl_g, lat_bits=plt.bits, window_n_log=wnl_g,
-                include_lookback=True, lookback_only=True,
+                cands="lookback",
                 **_cand_split_kw(cis),
             )
             lb_handles.append((ubl_g, cis, lens_g, devs))
@@ -1864,13 +1865,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     for ci, cn in enumerate(chunk_ns):
         if encs[ci] is None:
             # host pipeline for this chunk (lookback winner / fallback)
-            chunk_config = ChunkConfig(
-                compression_level=level,
-                mode_spec=config.mode_spec,
-                delta_spec=config.delta_spec,
-                paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci]),
-                enable_8_bit=config.enable_8_bit,
-                ans_size_log_cap=config.ans_size_log_cap,
+            chunk_config = _dc_replace(
+                config, paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci])
             )
             ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start, start + cn), chunk_config)
             chunk_jobs[ci] = ("host", None)
@@ -1968,13 +1964,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             }))
         if not ok:
             # kernel limits: re-train on host (rare, pathological tables)
-            chunk_config = ChunkConfig(
-                compression_level=level,
-                mode_spec=config.mode_spec,
-                delta_spec=config.delta_spec,
-                paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci]),
-                enable_8_bit=config.enable_8_bit,
-                ans_size_log_cap=config.ans_size_log_cap,
+            chunk_config = _dc_replace(
+                config, paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci])
             )
             ccs[ci] = cmp.chunk_compressor(nt, _nums_np(start - cn, start), chunk_config)
             chunk_jobs[ci] = ("host", None)

@@ -27,7 +27,7 @@ device-resident; tests assemble small files and compare byte-exactly with
 the host encoder (same bins in => identical stream out).
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from functools import partial
 
 import numpy as np
@@ -785,13 +785,8 @@ def _plan_encode(nums, config, page_n, chunk_n):
     ccs = []
     start = 0
     for cn in chunk_ns:
-        chunk_config = ChunkConfig(
-            compression_level=config.compression_level,
-            mode_spec=config.mode_spec,
-            delta_spec=config.delta_spec,
-            paging_spec=PagingSpec.exact_pages(ctn._exact_split(cn, page_n)),
-            enable_8_bit=config.enable_8_bit,
-            ans_size_log_cap=config.ans_size_log_cap,
+        chunk_config = _dc_replace(
+            config, paging_spec=PagingSpec.exact_pages(ctn._exact_split(cn, page_n))
         )
         ccs.append(chunk_compressor(nt, nums[start : start + cn], chunk_config))
         start += cn
