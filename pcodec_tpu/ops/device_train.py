@@ -1400,6 +1400,50 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         config.delta_spec.order, config.enable_8_bit,
     )
     spec_hint = _SPEC_HINTS.get(hint_key)
+
+    def _split_kw_from(cis, bases_map, fm_map):
+        """Per-chunk primary-transform kwargs for _phase_delta_candidates
+        (IntMult/FloatQuant // base; FloatMult softfloat), from explicit
+        maps so speculative dispatches can use the previous plan's."""
+        kw = {}
+        if any(ci in bases_map for ci in cis):
+            kw = dict(
+                bases=jnp.asarray(np.array(
+                    [bases_map.get(ci, 1) for ci in cis], np.uint64)),
+                has_bases=True,
+            )
+        if any(ci in fm_map for ci in cis):
+            kw.update(
+                fmult_invb=jnp.asarray(np.array(
+                    [fm_map.get(ci, (0, 0))[0] for ci in cis], np.uint64)),
+                f_params=f_params,
+            )
+        return kw
+
+    def _dispatch_lb(lb_q, bases_map, fm_map):
+        """Lookback-candidate dispatch (chooser scan + the two lookback
+        rows) per (ubl, window) group; returns fetchable handles."""
+        handles = []
+        for (ubl_g, wnl_g), cis in sorted(lb_q.items()):
+            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
+            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
+            devs = _phase_delta_candidates(
+                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
+                n_chunks=len(cis), m_max=int(lens_g.max()), max_order=0,
+                nb_log=ubl_g, lat_bits=plt.bits, window_n_log=wnl_g,
+                cands="lookback", **_split_kw_from(cis, bases_map, fm_map),
+            )
+            handles.append((ubl_g, cis, lens_g, devs))
+        return handles
+
+    # speculative lookback candidates: on the warm path lb_pending is
+    # layout+data stable, so the chooser scan overlaps the stage-1 fetch
+    # and the host chain decisions instead of sitting on the critical path
+    spec_lb = None
+    if spec_hint is not None and not _LB_HOST and spec_hint.get("lb_q"):
+        spec_lb = _dispatch_lb(
+            spec_hint["lb_q"], spec_hint["bases"], spec_hint["fmult"])
+
     spec_ph2 = None
     if spec_hint is not None:
         spec_ph2 = _dispatch_phase2_impl(
@@ -1557,23 +1601,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         return sample
 
     def _cand_split_kw(cis):
-        """Per-chunk primary-transform kwargs for _phase_delta_candidates
-        (IntMult/FloatQuant // base; FloatMult softfloat)."""
-        kw = {}
-        if any(ci in prim_bases for ci in cis):
-            kw = dict(
-                bases=jnp.asarray(np.array(
-                    [prim_bases.get(ci, 1) for ci in cis], np.uint64)),
-                has_bases=True,
-            )
-        if any(ci in fmult_map for ci in cis):
-            kw.update(
-                fmult_invb=jnp.asarray(np.array(
-                    [fmult_map.get(ci, (0, 0))[0] for ci in cis],
-                    np.uint64)),
-                f_params=f_params,
-            )
-        return kw
+        """_split_kw_from with this plan's decided mode-split maps."""
+        return _split_kw_from(cis, prim_bases, fmult_map)
 
     if (prim_bases or fmult_map) and is_delta_auto:
         # non-Classic winners decide delta on PRIMARY latents: their
@@ -1710,23 +1739,24 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         > cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * delta_spans[ci][1]
     ] if is_delta_auto else []
     lb_handles = []
+    lb_q: Dict[tuple, list] = {}
     if lb_pending and not _LB_HOST:
-        lb_q: Dict[tuple, list] = {}
         for ci in lb_pending:
             wnl = int(cmp.new_lookback(delta_spans[ci][1]).window_n_log)
             lb_q.setdefault((int(ubls[ci]), wnl), []).append(ci)
-        for (ubl_g, wnl_g), cis in sorted(lb_q.items()):
-            starts_g = np.array([delta_spans[ci][0] for ci in cis], np.int32)
-            lens_g = np.array([delta_spans[ci][1] for ci in cis], np.int32)
-            devs = _phase_delta_candidates(
-                delta_s_dev, jnp.asarray(starts_g), jnp.asarray(lens_g),
-                n_chunks=len(cis), m_max=int(lens_g.max()), max_order=0,
-                nb_log=ubl_g, lat_bits=plt.bits, window_n_log=wnl_g,
-                cands="lookback",
-                **_cand_split_kw(cis),
-            )
-            lb_handles.append((ubl_g, cis, lens_g, devs))
-        _t0 = _trace("lookback dispatch", _t0)
+        # the speculative dispatch (issued at stage-1 time) is valid when
+        # the grouping and the mode-split maps it used match this plan's
+        use_spec_lb = (
+            spec_lb is not None
+            and spec_hint["lb_q"] == lb_q
+            and spec_hint["bases"] == prim_bases
+            and spec_hint["fmult"] == fmult_map
+        )
+        lb_handles = (
+            spec_lb if use_spec_lb else _dispatch_lb(lb_q, prim_bases, fmult_map)
+        )
+        _t0 = _trace(
+            f"lookback dispatch (spec={'hit' if use_spec_lb else 'miss'})", _t0)
 
     # ---- phase 2 decision compare + (re)dispatch ----
 
@@ -1748,6 +1778,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         "orders": orders.copy(), "live": live.copy(),
         "bases": dict(prim_bases), "flips": frozenset(quant_ks),
         "fmult": dict(fmult_map),
+        "lb_q": {k: list(v) for k, v in lb_q.items()},
     }
     if len(_SPEC_HINTS) > 16:
         _SPEC_HINTS.clear()
