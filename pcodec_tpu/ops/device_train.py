@@ -620,9 +620,21 @@ def _bitlen_u64(x):
 
 
 def _choose_lookbacks_device(lat2d, lens, bits, window_n_log, state_n):
-    """The 16-candidate lookback chooser (delta/lookback.rs:101-164) as one
-    lax.scan, vectorized across chunk lanes. Bit-identical to
-    choose_lookbacks: pure integer ops, same proposal/scoring/update order.
+    """The 16-candidate lookback chooser (delta/lookback.rs:101-164)
+    vectorized across chunk lanes. Bit-identical to choose_lookbacks: pure
+    integer ops, same proposal/scoring/update order.
+
+    The reference keeps two hash tables of 2^(window_n_log+1) slots mapping
+    value-bucket hashes to the last index seen — per-lane tables would cost
+    lanes * 2^16 ints of carry at window 15. Since both the inserts
+    (hash of position j's bucket) and the queries (hashes of position i's
+    bucket +-1 at both coarsenesses) are static per position, the table
+    reads are precomputed OUTSIDE the scan as predecessor queries — sort
+    (insert_hash, position) per lane, searchsorted each query for the last
+    insert j < i with the same hash (identical collisions), default j = 0
+    exactly like the zero-initialized reference tables. The scan then
+    carries only the small count/repeat feedback state.
+
     lat2d: (lanes, m) u64 latent values; lens: (lanes,) i32.
     Returns lookbacks (lanes, m - state_n) i32 (0 past each lane's length).
     """
@@ -632,24 +644,46 @@ def _choose_lookbacks_device(lat2d, lens, bits, window_n_log, state_n):
     hash_mask = jnp.uint64(htn - 1)
     mask_l = jnp.uint64((1 << bits) - 1) if bits < 64 else jnp.uint64(0xFFFFFFFFFFFFFFFF)
     lens = lens.astype(jnp.int32)
-    lane_iota = jnp.arange(lanes, dtype=jnp.int32)
     col16 = jnp.arange(16, dtype=jnp.int32)[None, :]
 
     def hash_fn(x):
         x = (x ^ (x >> jnp.uint64(32))) * jnp.uint64(11400714819323197441)
         x = x ^ (x >> jnp.uint64(32))
-        return (x & hash_mask).astype(jnp.int32)
+        return (x & hash_mask).astype(jnp.uint64)
 
-    def gather_lane(arr2d, idx):
-        # arr2d (lanes, K), idx (lanes,) -> (lanes,)
-        return jnp.take_along_axis(arr2d, idx[:, None], axis=1)[:, 0]
+    # ---- precomputed hash-table reads: lb_last_all[k] (lanes, m) i32 is
+    # what `i - table[query_hash_k(i)]` would return at step i ----
+    col = jax.lax.broadcasted_iota(jnp.int64, (lanes, m), 1)
+    mlog = max(m - 1, 1).bit_length()
+    ins_ok = (col >= state_n) & (col < lens.astype(jnp.int64)[:, None])
+    searchsorted_lane = jax.vmap(partial(jnp.searchsorted, side="left"))
+    lb_last_all = []
+    for coarseness in (0, 8):
+        bucket = lat2d >> jnp.uint64(coarseness)
+        ins_key = jnp.where(
+            ins_ok,
+            (hash_fn(bucket) << jnp.uint64(mlog)) | col.astype(jnp.uint64),
+            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        )
+        skey = jnp.sort(ins_key, axis=1)
+        for d in (0xFFFFFFFFFFFFFFFF, 0, 1):  # -1, 0, +1 mod 2^64
+            qh = hash_fn(bucket + jnp.uint64(d))
+            q = (qh << jnp.uint64(mlog)) | col.astype(jnp.uint64)
+            idx = searchsorted_lane(skey, q) - 1
+            cand = jnp.take_along_axis(skey, jnp.maximum(idx, 0).astype(jnp.int32), axis=1)
+            hit = (idx >= 0) & ((cand >> jnp.uint64(mlog)) == qh)
+            pred_j = jnp.where(
+                hit, (cand & jnp.uint64((1 << mlog) - 1)).astype(jnp.int32), 0
+            )
+            lb_last_all.append(col.astype(jnp.int32) - pred_j)
+    lb_last_all = jnp.stack(lb_last_all, axis=0)  # (6, lanes, m)
 
     def gather_lane16(arr2d, idx):
         # arr2d (lanes, K), idx (lanes, 16) -> (lanes, 16)
         return jnp.take_along_axis(arr2d, idx, axis=1)
 
     def step(carry, i):
-        counts, idx_hash0, idx_hash1, proposed, best_lb, rep_idx = carry
+        counts, proposed, best_lb, rep_idx = carry
         active = i < lens
         l = jax.lax.dynamic_index_in_dim(lat2d, i, axis=1, keepdims=False)
 
@@ -658,27 +692,18 @@ def _choose_lookbacks_device(lat2d, lens, bits, window_n_log, state_n):
             active[:, None] & (col16 == new_brute - 1), new_brute, proposed
         )
 
-        for ci, (coarseness, table) in enumerate(((0, 0), (8, 1))):
-            ih = idx_hash0 if table == 0 else idx_hash1
-            bucket = l >> jnp.uint64(coarseness)
-            hs = (hash_fn(bucket - jnp.uint64(1)), hash_fn(bucket),
-                  hash_fn(bucket + jnp.uint64(1)))
-            for j, h in enumerate(hs):
-                lb_last = i - gather_lane(ih, h)
-                prop_idx = 10 + 3 * ci + j
-                val = jnp.where(
-                    lb_last <= window_n, lb_last, jnp.minimum(prop_idx, i)
-                ).astype(jnp.int32)
-                proposed = jnp.where(
-                    active[:, None] & (col16 == prop_idx), val[:, None], proposed
-                )
-            old = gather_lane(ih, hs[1])
-            newv = jnp.where(active, i, old).astype(ih.dtype)
-            ih = ih.at[lane_iota, hs[1]].set(newv)
-            if table == 0:
-                idx_hash0 = ih
-            else:
-                idx_hash1 = ih
+        lb_last6 = jax.lax.dynamic_index_in_dim(
+            lb_last_all, i, axis=2, keepdims=False
+        )  # (6, lanes)
+        for k in range(6):
+            lb_last = lb_last6[k]
+            prop_idx = 10 + k
+            val = jnp.where(
+                lb_last <= window_n, lb_last, jnp.minimum(prop_idx, i)
+            ).astype(jnp.int32)
+            proposed = jnp.where(
+                active[:, None] & (col16 == prop_idx), val[:, None], proposed
+            )
 
         lb = jnp.clip(proposed, 1, jnp.maximum(i, 1))
         count = gather_lane16(counts, lb - 1)
@@ -699,16 +724,15 @@ def _choose_lookbacks_device(lat2d, lens, bits, window_n_log, state_n):
             active[:, None] & (col16 == rep_col[:, None]), best[:, None], proposed
         )
         best_lb = jnp.where(active, best, best_lb)
+        lane_iota = jnp.arange(lanes, dtype=jnp.int32)
         counts = counts.at[lane_iota, jnp.clip(best - 1, 0, counts.shape[1] - 1)].add(
             active.astype(counts.dtype)
         )
         out = jnp.where(active, best, 0)
-        return (counts, idx_hash0, idx_hash1, proposed, best_lb, rep_idx), out
+        return (counts, proposed, best_lb, rep_idx), out
 
     init = (
         jnp.ones((lanes, min(window_n, m)), jnp.int32),   # lookback_counts
-        jnp.zeros((lanes, htn), jnp.int32),               # idx_hash coarseness 0
-        jnp.zeros((lanes, htn), jnp.int32),               # idx_hash coarseness 8
         jnp.minimum(col16 + 1, state_n) * jnp.ones((lanes, 1), jnp.int32),
         jnp.ones(lanes, jnp.int32),                       # best_lookback
         jnp.zeros(lanes, jnp.int32),                      # repeating_idx
