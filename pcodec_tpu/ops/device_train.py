@@ -34,7 +34,7 @@ from pcodec_tpu.binning import sampling
 from pcodec_tpu.binning.histogram import _Builder, HistogramBin
 from pcodec_tpu.codec.chunk_config import ChunkConfig, ModeSpec, PagingSpec
 from pcodec_tpu.codec import compress as cmp
-from pcodec_tpu.dtypes import NumberType
+from pcodec_tpu.dtypes import NumberType, U32
 from pcodec_tpu.format.metadata import DeltaEncoding, Mode, PerLatentVar
 from pcodec_tpu.modes import int_mult
 from pcodec_tpu.ops import softfloat
@@ -111,6 +111,7 @@ def device_train_supported(nt: NumberType, config: ChunkConfig, n: int, page_n: 
         cmp.DeltaSpec.AUTO,
         cmp.DeltaSpec.NO_OP,
         cmp.DeltaSpec.TRY_CONSECUTIVE,
+        cmp.DeltaSpec.TRY_LOOKBACK,
     ):
         return False
     return n >= 4 * page_n
@@ -902,6 +903,63 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     return _pack_bins_dense(co, lo, up, nbn), nbn
 
 
+@partial(jax.jit, static_argnames=(
+    "n_chunks", "rows_per_chunk", "page_n", "lat_bits", "wnl", "state_n",
+    "nb_log"))
+def _phase_lookback(lat2d_sel, rowlen_sel, nreal_prim, nreal_lb,
+                    n_chunks, rows_per_chunk, page_n, lat_bits, wnl, state_n,
+                    nb_log):
+    """Full-chunk lookback delta ENCODE on device for split-free chunks.
+
+    Per page row: the 16-candidate chooser picks lookbacks (bit-identical
+    to the native chooser), deltas are value - value[i - lb] center-toggled
+    (ref: delta/lookback.rs:166-198 / delta/encode.py lookback_encode), and
+    per-chunk quantile walks bin BOTH latent vars (toggled primary deltas;
+    the u32 lookback var). Pages are the parallel lanes — the whole chunk
+    encodes in one dispatch.
+
+    Returns (prim_rows, lb_rows, states, dense_p, nbn_p, dense_d, nbn_d):
+    prim_rows (rows, page_n) u64 toggled deltas with a state_n junk front;
+    lb_rows (rows, page_n) u64 lookbacks from column 0 (page_n - state_n
+    real per full page); states (rows, state_n) u64 raw page-front latents
+    (page metadata delta state); dense/nbn pairs are packed walk bins per
+    chunk for the primary and lookback vars."""
+    rows = lat2d_sel
+    lens = rowlen_sel.astype(jnp.int32)
+    lbs = _choose_lookbacks_device(rows, lens, lat_bits, wnl, state_n)
+    col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    lb_full = jnp.concatenate(
+        [jnp.ones((rows.shape[0], state_n), jnp.int32), lbs], axis=1
+    )
+    src = jnp.take_along_axis(
+        rows, jnp.clip(col - lb_full, 0, page_n - 1), axis=1
+    )
+    mask = jnp.uint64((1 << lat_bits) - 1) if lat_bits < 64 else None
+    mid = jnp.uint64(1) << jnp.uint64(lat_bits - 1)
+    delta = rows - src
+    toggled = delta + mid
+    if mask is not None:
+        toggled = toggled & mask
+    body = (col >= state_n) & (col < lens[:, None])
+    prim_rows = jnp.where(body, toggled, rows)
+    prim_sort = jnp.where(body, toggled, jnp.uint64(U64_MAX))
+    lb_u64 = jnp.pad(lbs.astype(jnp.uint64), ((0, 0), (0, state_n)))
+    lb_body = col < jnp.maximum(lens - state_n, 0)[:, None]
+    lb_rows = jnp.where(lb_body, lb_u64, jnp.uint64(0))
+    lb_sort = jnp.where(lb_body, lb_u64, jnp.uint64(U64_MAX))
+    states = rows[:, :state_n]
+
+    co_p, lo_p, up_p, nbn_p = _extracts_and_walk(
+        prim_sort.reshape(n_chunks, rows_per_chunk * page_n), nreal_prim, nb_log
+    )
+    co_d, lo_d, up_d, nbn_d = _extracts_and_walk(
+        lb_sort.reshape(n_chunks, rows_per_chunk * page_n), nreal_lb, nb_log
+    )
+    return (prim_rows, lb_rows, states,
+            _pack_bins_dense(co_p, lo_p, up_p, nbn_p), nbn_p,
+            _pack_bins_dense(co_d, lo_d, up_d, nbn_d), nbn_d)
+
+
 @partial(jax.jit, static_argnames=("n_chunks", "rows_per_chunk", "page_n",
                                    "nb_log", "lat_bits", "f_params"))
 def _phase_secondary(lat2d, row_sel, base_row, flip_row, rowlen, n_stored,
@@ -1270,8 +1328,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     plt = lt  # primary latent type for decisions/bins (dict: U32)
     dict_uniq_dev = dict_small_d = None
     if is_dict:
-        from pcodec_tpu.dtypes import U32
-
         starts_np = np.concatenate([[0], np.cumsum(chunk_ns)[:-1]]).astype(np.int64)
         nums_dev, dict_uniq_dev, dict_small_d = _phase_dict(
             nums_dev, jnp.asarray(starts_np), kind=nt.kind, mid=int(lt.mid),
@@ -1732,6 +1788,14 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # ---- final per-chunk delta encodings ----
     orders = np.zeros(n_chunks, dtype=np.int32)
     encs: List[Optional[DeltaEncoding]] = [None] * n_chunks
+    # lookback-winning split-free chunks encode on device (_phase_lookback);
+    # encs stays None for them so phase 2 (consecutive machinery) skips them
+    lb_encs: Dict[int, DeltaEncoding] = {}
+
+    def _route_lookback(ci, enc):
+        if ci not in prim_bases and ci not in fmult_map:
+            lb_encs[ci] = enc
+
     for ci, cn in enumerate(chunk_ns):
         if mode_is_host[ci]:
             continue  # never set on the auto paths today; kept for
@@ -1740,6 +1804,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             enc = delta_encs[ci]
         elif config.delta_spec.kind == cmp.DeltaSpec.NO_OP:
             enc = DeltaEncoding.noop()
+        elif config.delta_spec.kind == cmp.DeltaSpec.TRY_LOOKBACK:
+            enc = cmp.new_lookback(cn)
         else:  # TRY_CONSECUTIVE
             enc = (
                 DeltaEncoding.noop()
@@ -1747,7 +1813,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 else DeltaEncoding.consecutive(config.delta_spec.order)
             )
         if enc.kind == DeltaEncoding.LOOKBACK:
-            continue  # host pipeline (encs stays None)
+            _route_lookback(ci, enc)
+            continue
         encs[ci] = enc
         orders[ci] = enc.order if enc.kind == DeltaEncoding.CONSECUTIVE else 0
 
@@ -1839,7 +1906,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         true = cmp.finalize_delta_choice(spec_chains[ci], lb_cost, chunk_ns[ci])
         enc = encs[ci]
         if (true.kind, true.order) != (enc.kind, enc.order):
-            encs[ci] = None  # lookback (or theorem violation): host path
+            encs[ci] = None  # ph2's consecutive machinery skips this chunk
+            if true.kind == DeltaEncoding.LOOKBACK:
+                _route_lookback(ci, true)
 
     if lb_pending and not _LB_HOST:
         # device bins (dispatched above): identical float math to
@@ -1882,6 +1951,35 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             _apply_lb_cost(ci, lb_cost)
     _t0 = _trace("lookback eval", _t0)
 
+    # ---- device lookback ENCODE for the routed chunks ----
+    lbe_handles = []
+    if lb_encs:
+        lbe_groups: Dict[tuple, list] = {}
+        for ci, enc in lb_encs.items():
+            key = (int(ubls[ci]), int(enc.window_n_log), int(enc.state_n))
+            lbe_groups.setdefault(key, []).append(ci)
+        for (ubl_g, wnl_g, stn_g), cis in sorted(lbe_groups.items()):
+            rows_idx = np.concatenate([
+                np.arange(ci * rows_per_chunk, (ci + 1) * rows_per_chunk)
+                for ci in cis
+            ]).astype(np.int32)
+            # per chunk: stored primary latents = lookback count = n minus
+            # the state_n page-front latents of each page
+            nr_g = np.array(
+                [chunk_ns[ci] - stn_g * len(pages_per_chunk[ci]) for ci in cis],
+                np.int64,
+            )
+            outs = _phase_lookback(
+                lat2d[jnp.asarray(rows_idx)],
+                jnp.asarray(rowlen[rows_idx]),
+                jnp.asarray(nr_g), jnp.asarray(nr_g),
+                n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
+                page_n=page_n, lat_bits=plt.bits, wnl=wnl_g, state_n=stn_g,
+                nb_log=ubl_g,
+            )
+            lbe_handles.append(((ubl_g, stn_g), cis, outs))
+        _t0 = _trace("lookback-encode dispatch", _t0)
+
     for t in fetch_threads:
         t.join()
     moments = fetch_box["m"]
@@ -1903,6 +2001,21 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         for k, ci in enumerate(cis):
             sec_bins[ci] = per_row[k]
 
+    lb_data: Dict[int, dict] = {}
+    for (ubl_g, stn_g), cis, outs in lbe_handles:
+        prim_src, lb_src, states_d, dense_p, nbn_p, dense_dv, nbn_dv = outs
+        states_np = np.asarray(states_d)
+        bins_p = _fetch_packed_bins(dense_p, nbn_p)
+        bins_dv = _fetch_packed_bins(dense_dv, nbn_dv)
+        for k, ci in enumerate(cis):
+            lb_data[ci] = {
+                "ubl": ubl_g, "state_n": stn_g,
+                "bins_p": bins_p[k], "bins_d": bins_dv[k],
+                "states": states_np[k * rows_per_chunk : (k + 1) * rows_per_chunk],
+                "prim_src": prim_src, "lb_src": lb_src,
+                "row_start": k * rows_per_chunk,
+            }
+
     _t0 = _trace("walk+bins fetch", _t0)
     # ---- host: bins, metadata, jobs ----
     nums_np_cache: List[Optional[np.ndarray]] = [None]
@@ -1918,8 +2031,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     groups: Dict[tuple, list] = {}
     start = 0
     for ci, cn in enumerate(chunk_ns):
-        if encs[ci] is None:
-            # host pipeline for this chunk (lookback winner / fallback)
+        if encs[ci] is None and ci not in lb_data:
+            # host pipeline for this chunk (split-mode lookback winner /
+            # degenerate fallback)
             chunk_config = _dc_replace(
                 config, paging_spec=PagingSpec.exact_pages(pages_per_chunk[ci])
             )
@@ -1928,48 +2042,87 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             start += cn
             continue
 
-        order = int(orders[ci])
-        nr = int(nreal[ci])
-        nb_log = int(ubls[ci])
-        has_sec = ci in prim_bases or ci in fmult_map
-        trained = _train_from_histogram(hist_bins[ci], nr, nb_log, plt,
-                                        config.ans_size_log_cap)
-        bins = cmp.bins_from_infos(trained.infos, plt)
-        lvc = cmp.LatentVarCompressor(trained, bins, None)
-        var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
-        lvcs_pv = PerLatentVar(None, lvc, None)
-        counts = PerLatentVar(None, trained.counts, None)
         mode = Mode(Mode.DICT, dict_payloads[ci]) if is_dict else Mode(Mode.CLASSIC)
-        if has_sec:
-            # IntMult / FloatQuant: secondary (adjustment) var trained from
-            # its own device walk; NOOP delta (auto never sets
-            # secondary_uses_delta)
-            ubl_sec = min(nb_log, c.LIMITED_UNOPTIMIZED_BINS_LOG)
-            trained_s = _train_from_histogram(sec_bins[ci], cn, ubl_sec, lt,
+        if ci in lb_data:
+            # device lookback chunk: two latent vars (u32 lookbacks +
+            # toggled primary deltas), page state = the raw front latents
+            d = lb_data[ci]
+            enc_ci = lb_encs[ci]
+            stn = d["state_n"]
+            nb_log = int(d["ubl"])
+            nr = cn - stn * len(pages_per_chunk[ci])
+            trained = _train_from_histogram(d["bins_p"], nr, nb_log, plt,
+                                            config.ans_size_log_cap)
+            bins = cmp.bins_from_infos(trained.infos, plt)
+            lvc = cmp.LatentVarCompressor(trained, bins, None)
+            trained_d = _train_from_histogram(d["bins_d"], nr, nb_log, U32,
                                               config.ans_size_log_cap)
-            bins_s = cmp.bins_from_infos(trained_s.infos, lt)
-            lvc_s = cmp.LatentVarCompressor(trained_s, bins_s, None)
+            bins_d = cmp.bins_from_infos(trained_d.infos, U32)
+            lvc_d = cmp.LatentVarCompressor(trained_d, bins_d, None)
             var_metas = PerLatentVar(
-                None,
+                cmp.ChunkLatentVarMeta(trained_d.ans_size_log, bins_d),
                 cmp.ChunkLatentVarMeta(trained.ans_size_log, bins),
-                cmp.ChunkLatentVarMeta(trained_s.ans_size_log, bins_s),
+                None,
             )
-            lvcs_pv = PerLatentVar(None, lvc, lvc_s)
-            counts = PerLatentVar(None, trained.counts, trained_s.counts)
-            if ci in quant_ks:
-                mode = Mode(Mode.FLOAT_QUANT, quant_ks[ci])
-            elif ci in fmult_bases:
-                base_ = fmult_bases[ci][0]
-                mode = Mode(Mode.FLOAT_MULT, int(
-                    nt.to_latent_ordered(
-                        np.array([base_], nt.np_dtype))[0]))
-            else:
-                mode = Mode(Mode.INT_MULT, int_bases[ci])
-        meta = cmp.ChunkMeta(mode, encs[ci], var_metas, nt.latent)
-        page_infos = _device_page_infos(
-            pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt,
-            has_secondary=has_sec, state_dtype=plt.np_dtype,
-        )
+            lvcs_pv = PerLatentVar(lvc_d, lvc, None)
+            counts = PerLatentVar(trained_d.counts, trained.counts, None)
+            meta = cmp.ChunkMeta(mode, enc_ci, var_metas, nt.latent)
+            page_infos = _LookbackPageInfos(
+                pages_per_chunk[ci], stn,
+                d["states"][: len(pages_per_chunk[ci])].astype(plt.np_dtype),
+            )
+            var_list = [
+                ("delta", lvc_d, bins_d, 0, d["row_start"], d["lb_src"]),
+                ("primary", lvc, bins, stn, d["row_start"], d["prim_src"]),
+            ]
+        else:
+            order = int(orders[ci])
+            nr = int(nreal[ci])
+            nb_log = int(ubls[ci])
+            has_sec = ci in prim_bases or ci in fmult_map
+            trained = _train_from_histogram(hist_bins[ci], nr, nb_log, plt,
+                                            config.ans_size_log_cap)
+            bins = cmp.bins_from_infos(trained.infos, plt)
+            lvc = cmp.LatentVarCompressor(trained, bins, None)
+            var_metas = PerLatentVar(None, cmp.ChunkLatentVarMeta(trained.ans_size_log, bins), None)
+            lvcs_pv = PerLatentVar(None, lvc, None)
+            counts = PerLatentVar(None, trained.counts, None)
+            if has_sec:
+                # IntMult / FloatQuant: secondary (adjustment) var trained
+                # from its own device walk; NOOP delta (auto never sets
+                # secondary_uses_delta)
+                ubl_sec = min(nb_log, c.LIMITED_UNOPTIMIZED_BINS_LOG)
+                trained_s = _train_from_histogram(sec_bins[ci], cn, ubl_sec, lt,
+                                                  config.ans_size_log_cap)
+                bins_s = cmp.bins_from_infos(trained_s.infos, lt)
+                lvc_s = cmp.LatentVarCompressor(trained_s, bins_s, None)
+                var_metas = PerLatentVar(
+                    None,
+                    cmp.ChunkLatentVarMeta(trained.ans_size_log, bins),
+                    cmp.ChunkLatentVarMeta(trained_s.ans_size_log, bins_s),
+                )
+                lvcs_pv = PerLatentVar(None, lvc, lvc_s)
+                counts = PerLatentVar(None, trained.counts, trained_s.counts)
+                if ci in quant_ks:
+                    mode = Mode(Mode.FLOAT_QUANT, quant_ks[ci])
+                elif ci in fmult_bases:
+                    base_ = fmult_bases[ci][0]
+                    mode = Mode(Mode.FLOAT_MULT, int(
+                        nt.to_latent_ordered(
+                            np.array([base_], nt.np_dtype))[0]))
+                else:
+                    mode = Mode(Mode.INT_MULT, int_bases[ci])
+            meta = cmp.ChunkMeta(mode, encs[ci], var_metas, nt.latent)
+            page_infos = _device_page_infos(
+                pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt,
+                has_secondary=has_sec, state_dtype=plt.np_dtype,
+            )
+            var_list = [("primary", lvc, bins, order, ci * rows_per_chunk, dev_rows)]
+            if has_sec:
+                var_list.append(
+                    ("secondary", lvc_s, bins_s, 0, sec_row_of[ci], sec_rows_dev)
+                )
+
         cand = cmp.ChunkCompressor(meta, lvcs_pv, page_infos)
         if cand.should_fallback(nt.latent, cn, counts):
             ccs[ci] = cmp.fallback_chunk_compressor(
@@ -1981,11 +2134,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         ccs[ci] = cand
         start += cn
 
-        var_list = [("primary", lvc, bins, order, ci * rows_per_chunk, dev_rows)]
-        if has_sec:
-            var_list.append(
-                ("secondary", lvc_s, bins_s, 0, sec_row_of[ci], sec_rows_dev)
-            )
         # trivial vars (single zero-offset bin) write no body bits: skip
         # their kernel job; the assembler emits empty sections for them
         nontrivial = [v for v in var_list if not v[1].is_trivial]
@@ -2013,7 +2161,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             jobs_out.append((key, {
                 "ci": ci, "cc": ccs[ci], "tables": (nexts, lowers, t1, t2, ts),
                 "b": b, "max_ob": max_ob, "var": var,
-                "rkey": (ci, var) if has_sec else ci,
+                "rkey": (ci, var) if len(var_list) > 1 else ci,
                 "dev": {"row_start": row_start, "order": v_order,
                         "n_pages": len(pages_per_chunk[ci]), "src": src},
             }))
@@ -2088,3 +2236,41 @@ def _device_page_infos(per_page: List[int], order: int, chunk_moments: np.ndarra
                        has_secondary: bool = False, state_dtype=None):
     return _DevicePageInfos(per_page, order, chunk_moments, nt, has_secondary,
                             state_dtype)
+
+
+class _LookbackPageInfos:
+    """Lazy PageInfo sequence for device-encoded lookback chunks: the
+    primary var's body starts after the state_n raw front latents (stored
+    as the page's delta state, ref: metadata/page_latent_var.rs:18-50) and
+    the u32 lookback var indexes its own flat latent space (page_n - state_n
+    entries per page, empty page state)."""
+
+    def __init__(self, per_page: List[int], state_n: int, states: np.ndarray):
+        self.per_page = per_page
+        self.state_n = state_n
+        self.states = states  # (n_pages, state_n) in the primary latent dtype
+        self.starts = np.concatenate([[0], np.cumsum(per_page)])
+        pp = np.asarray(per_page, np.int64)
+        self.lb_starts = np.concatenate(
+            [[0], np.cumsum(np.maximum(pp - state_n, 0))]
+        )
+        self.empty_u32 = np.zeros(0, dtype=np.uint32)
+
+    def __len__(self):
+        return len(self.per_page)
+
+    def __getitem__(self, pi):
+        if isinstance(pi, slice):
+            return [self[i] for i in range(*pi.indices(len(self)))]
+        pn = self.per_page[pi]
+        start = int(self.starts[pi])
+        end = start + pn
+        piv = cmp.PageInfoVar(self.states[pi], min(start + self.state_n, end), end)
+        dpiv = cmp.PageInfoVar(
+            self.empty_u32, int(self.lb_starts[pi]), int(self.lb_starts[pi + 1])
+        )
+        return cmp.PageInfo(pn, PerLatentVar(dpiv, piv, None))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

@@ -40,6 +40,14 @@ class TestEncodeInterpret:
         stats = _identical(np.cumsum(RNG.integers(0, 90, 700)).astype(np.int64), page_n=256)
         assert stats["device_chunks"] == 1
 
+    def test_lookback_interpret(self):
+        # lookback winner: both latent vars (u32 lookbacks + toggled deltas)
+        # through the kernels, byte-identical
+        x = (np.tile(RNG.integers(0, 10**6, 40), 40)[:1500]
+             .astype(np.int64) + RNG.integers(0, 2, 1500))
+        stats = _identical(x, page_n=256)
+        assert stats["device_chunks"] == 1
+
 
 @needs_tpu
 class TestDeviceEncode:
@@ -255,7 +263,7 @@ class TestDeviceTrainPlan:
             # but consecutive wins
             "lb_loses": np.cumsum(rng.integers(0, 120, 200_000)).astype(np.int64),
         }
-        expect = {"lb_wins": ("lookback", "host"),
+        expect = {"lb_wins": ("lookback", "device"),
                   "lb_loses": ("consecutive", "device")}
 
         def run():
@@ -289,6 +297,67 @@ class TestDeviceTrainPlan:
         assert dev_bins == host_sample
         for name, rows in dev_bins.items():
             assert all(r == expect[name] for r in rows), (name, rows)
+
+    def test_lookback_device_meta_matches_host(self):
+        """Lookback-winning (and pinned TRY_LOOKBACK) split-free chunks
+        encode on device: the chooser + delta + both vars' walks run in
+        _phase_lookback and the planned metadata (lookback var bins, primary
+        bins, page-front delta states) must match the host pipeline."""
+        from dataclasses import replace
+
+        from pcodec_tpu import DeltaSpec, ModeSpec
+        from pcodec_tpu.codec.chunk_config import PagingSpec
+        from pcodec_tpu.codec import container as ctn
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops.device_train import plan_encode_device
+        import pcodec_tpu.codec.compress as cmp
+
+        rng = np.random.default_rng(7)
+        lb = DeltaSpec(DeltaSpec.TRY_LOOKBACK)
+        cases = [
+            # auto: repetitive data where lookback wins the auction
+            ("auto", ChunkConfig(),
+             (np.tile(rng.integers(0, 10**6, 700), 300)[:200_000]
+              .astype(np.int64) + rng.integers(0, 2, 200_000)), "device"),
+            ("pinned i64", ChunkConfig(delta_spec=lb),
+             np.cumsum(rng.integers(0, 120, 131072)).astype(np.int64), "device"),
+            # narrow widths exercise the 32/16-bit wrapping delta masks
+            ("pinned i32", ChunkConfig(delta_spec=lb),
+             (np.tile(rng.integers(0, 9000, 300), 500)[:131072])
+             .astype(np.int32), "device"),
+            ("pinned u16", ChunkConfig(delta_spec=lb),
+             (np.tile(rng.integers(0, 400, 100), 1400)[:131072])
+             .astype(np.uint16), "device"),
+            # device dict split feeding device lookback (u32 index latents);
+            # own rng: this draw must make lookback win the auction
+            ("dict", ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)),
+             np.tile(np.random.default_rng(7).integers(
+                 -(10**12), 10**12, 50), 3000)[:131072]
+             .astype(np.int64), "device"),
+            # trivial vars: should_fallback/trivial routing to host, not crash
+            ("constant", ChunkConfig(delta_spec=lb),
+             np.full(131072, 42, np.int64), "host"),
+            # ragged tail chunk + ragged tail page
+            ("ragged", ChunkConfig(delta_spec=lb),
+             np.tile(rng.integers(0, 10**6, 80), 2000)[:150_001]
+             .astype(np.int64), "device"),
+        ]
+        for name, cfg, x, want in cases:
+            planned = plan_encode_device(x, cfg, 256, 131072)
+            assert planned is not None, name
+            nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+            assert all(k == want for k, _ in chunk_jobs), (name, chunk_jobs)
+            start = 0
+            for ci, cn in enumerate(chunk_ns):
+                hcfg = replace(cfg, paging_spec=PagingSpec.exact_pages(
+                    ctn._exact_split(cn, 256)))
+                host_cc = cmp.chunk_compressor(nt, x[start : start + cn], hcfg)
+                start += cn
+                assert host_cc.meta.delta_encoding.kind == "lookback", name
+                wd, wh = BitWriter(), BitWriter()
+                ccs[ci].write_meta(wd)
+                host_cc.write_meta(wh)
+                assert wd.to_bytes() == wh.to_bytes(), (name, ci)
 
     def test_dict_device_meta_matches_host(self):
         """TRY_DICT splits on device (_phase_dict): frequency-ordered
@@ -468,6 +537,16 @@ class TestDeviceTrain:
         self._dt((rng.integers(-50000, 50000, 200_000) * 0.01)
                  .astype(np.float64),
                  ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_FLOAT_MULT, 0.01)))
+
+    def test_lookback_device(self):
+        # lookback winners + pinned TRY_LOOKBACK encode on device
+        from pcodec_tpu import DeltaSpec
+
+        rng = np.random.default_rng(7)
+        self._dt((np.tile(rng.integers(0, 10**6, 700), 150)[:100_000]
+                  .astype(np.int64) + rng.integers(0, 2, 100_000)))
+        self._dt(np.cumsum(rng.integers(0, 120, 100_000)).astype(np.int64),
+                 ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_LOOKBACK)))
 
     def test_dict_device(self):
         # TRY_DICT: device mode split (_phase_dict) + kernel encode of the
