@@ -145,8 +145,11 @@ def main():
     from pcodec_tpu.codec.standalone import simple_compress, simple_decompress
     import pcodec_tpu.ops.pallas_decode as pd
 
+    only = os.environ.get("PCODEC_BENCH_ONLY", "")
     results = {}
     for name, (nums, cfg, fmt) in make_configs().items():
+        if only and only not in name:
+            continue
         t0 = time.time()
         if fmt == "standalone":
             blob = simple_compress(nums, cfg)
@@ -185,8 +188,9 @@ def main():
         }
         print(name, json.dumps(results[name]), flush=True)
 
-    with open("BENCH_MATRIX_r02.json", "w") as f:
-        json.dump(results, f, indent=1)
+    if not only:  # a filtered A/B run must not overwrite the full matrix
+        with open("BENCH_MATRIX_r02.json", "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps({"matrix": results}))
 
 

@@ -67,6 +67,12 @@ ROUNDS_PER_BATCH = BATCH // c.ANS_INTERLEAVING  # 64
 
 _INTERPRET = False  # set True to force interpreter mode (tests on CPU)
 
+# A/B: 1 = reconstruct per-page lookback chunks with the XLA pointer-doubling
+# path instead of the Pallas lane-gather kernel (measure both on hardware)
+import os as _os
+
+_LB_RECON_XLA = _os.environ.get("PCODEC_LB_RECON", "") == "xla"
+
 
 def _interpret():
     if _INTERPRET:
@@ -1216,6 +1222,121 @@ def _consecutive_decode_batched(latents, moments, order, latent_bits):
     return out
 
 
+def _lb_block_shape(page_n: int):
+    """Pages per kernel block (G) and sublane rows per block (R = G*S):
+    the smallest whole-page grouping whose row count is a multiple of 8
+    (Mosaic (8,128) tiling)."""
+    import math
+
+    S = page_n // 128
+    G = 8 // math.gcd(S, 8)
+    return G, G * S
+
+
+def _lb_recon_kernel_body(add_lo_ref, add_hi_ref, ptr_ref, out_lo_ref,
+                          out_hi_ref, *, R, rounds):
+    """Pointer-doubling rounds over one (R,128) block of whole pages.
+
+    add is the running u64 partial sum (lo/hi int32 words), ptr the
+    block-local predecessor (-1 = resolved). Each round gathers add[ptr]
+    and ptr[ptr] with lane-gather select trees over the block's R
+    sublane-planes (the XLA per-element gather runs ~35 M/s; these run at
+    VPU lane-gather speed). Block-local pointers never cross pages, so
+    multiple pages per block are safe."""
+    with jax.enable_x64(False):
+        add_lo = add_lo_ref[0]
+        add_hi = add_hi_ref[0]
+        ptr = ptr_ref[0]
+        msb = jnp.int32(-0x80000000)
+        zero = jnp.zeros((R, 128), jnp.int32)
+        for _ in range(rounds):
+            active = ptr >= 0
+            j = jnp.maximum(ptr, 0)
+            jl = j & 127
+            js = _srl(j, 7)
+            g_lo, g_hi, g_p = zero, zero, zero
+            for k in range(R):
+                m = js == k
+                g_lo = jnp.where(m, jnp.take_along_axis(
+                    jnp.broadcast_to(add_lo[k : k + 1], (R, 128)), jl, axis=1), g_lo)
+                g_hi = jnp.where(m, jnp.take_along_axis(
+                    jnp.broadcast_to(add_hi[k : k + 1], (R, 128)), jl, axis=1), g_hi)
+                g_p = jnp.where(m, jnp.take_along_axis(
+                    jnp.broadcast_to(ptr[k : k + 1], (R, 128)), jl, axis=1), g_p)
+            lo = add_lo + g_lo
+            carry = jnp.where((lo ^ msb) < (g_lo ^ msb), 1, 0)
+            hi = add_hi + g_hi + carry
+            add_lo = jnp.where(active, lo, add_lo)
+            add_hi = jnp.where(active, hi, add_hi)
+            ptr = jnp.where(active, g_p, ptr)
+        out_lo_ref[0] = add_lo
+        out_hi_ref[0] = add_hi
+
+
+def _lookback_decode_pages_pallas(latents, lookbacks, momentsw, window_n: int,
+                                  state_n: int, bits: int):
+    """Whole-page lookback reconstruction on device, bit-identical to
+    jax.vmap(xops._lookback_decode) (spec: docs/format.md Lookback; ref:
+    delta/lookback.rs:200-246).
+
+    latents/lookbacks: (n_pages, page_n) u64; momentsw: (n_pages, 32) u64
+    page delta state. The XLA prepass is pure elementwise/concat work
+    (initial add = stored state | center-toggled deltas; initial ptr =
+    pos - clip(lookback, 1, window_n), -1 where resolved); the gather-bound
+    doubling rounds run in the Pallas kernel."""
+    P, N = latents.shape
+    if P == 0:
+        return latents
+    mid = jnp.uint64(1 << (bits - 1))
+    deltas = latents + mid
+    parts = []
+    if state_n:
+        parts.append(momentsw[:, :state_n])
+    parts.append(deltas[:, : N - state_n])
+    add0 = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    pos = jnp.arange(N, dtype=jnp.int64)[None, :]
+    lb = jnp.clip(lookbacks[:, : N - state_n].astype(jnp.int64), 1,
+                  jnp.int64(window_n))
+    lb_full = jnp.concatenate(
+        [jnp.ones((P, state_n), jnp.int64), lb], axis=1
+    ) if state_n else lb
+    ptr0 = jnp.where(pos < state_n, jnp.int64(-1), pos - lb_full)
+    ptr0 = jnp.maximum(ptr0, jnp.int64(-1)).astype(jnp.int32)
+    G, R = _lb_block_shape(N)
+    pad_pages = (-P) % G
+    if pad_pages:
+        add0 = jnp.pad(add0, ((0, pad_pages), (0, 0)))
+        ptr0 = jnp.pad(ptr0, ((0, pad_pages), (0, 0)), constant_values=-1)
+    blocks = (P + pad_pages) // G
+    off = (jnp.arange(P + pad_pages, dtype=jnp.int32) % G) * N
+    ptr_blk = jnp.where(ptr0 < 0, jnp.int32(-1), ptr0 + off[:, None])
+    add_lo = jax.lax.bitcast_convert_type(
+        add0.astype(jnp.uint32), jnp.int32).reshape(blocks, R, 128)
+    add_hi = jax.lax.bitcast_convert_type(
+        (add0 >> jnp.uint64(32)).astype(jnp.uint32), jnp.int32
+    ).reshape(blocks, R, 128)
+    rounds = max(N - 1, 1).bit_length()
+    kernel = partial(_lb_recon_kernel_body, R=R, rounds=rounds)
+    spec = pl.BlockSpec((1, R, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+                        memory_space=pltpu.VMEM)
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((blocks, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((blocks, R, 128), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(add_lo, add_hi, ptr_blk.reshape(blocks, R, 128))
+    lo64 = jax.lax.bitcast_convert_type(
+        out_lo.reshape(-1, N)[:P], jnp.uint32).astype(jnp.uint64)
+    hi64 = jax.lax.bitcast_convert_type(
+        out_hi.reshape(-1, N)[:P], jnp.uint32).astype(jnp.uint64)
+    return lo64 | (hi64 << jnp.uint64(32))
+
+
 def _reconstruct_var(cp: ChunkPlan, vp: VarPlan, latents, delta_latents, nt: NumberType):
     de = cp.meta.delta_encoding.for_latent_var(vp.key)
     bits = nt.latent.bits
@@ -1225,23 +1346,32 @@ def _reconstruct_var(cp: ChunkPlan, vp: VarPlan, latents, delta_latents, nt: Num
         moments = jnp.asarray(vp.moments.astype(np.uint64))
         return _consecutive_decode_batched(latents, moments, de.order, bits)
     if de.kind == DeltaEncoding.LOOKBACK:
-        f = jax.vmap(
-            lambda lat, lb, st: xops._lookback_decode(
-                lat, lb, st, jnp.int64(de.window_n), de.state_n, bits
-            )
-        )
         if vp.flat_lookback:
             # standalone chains: the chunk is ONE page split into synthetic
             # 1024-chains; reconstruct on the flat stream, then restore the
             # chain layout for the downstream trim
             st = np.zeros((1, 32), dtype=np.uint64)
             st[0, : vp.moments.shape[1]] = vp.moments
-            out = f(latents.reshape(1, -1), delta_latents.reshape(1, -1),
-                    jnp.asarray(st))
+            out = jax.vmap(
+                lambda lat, lb, s: xops._lookback_decode(
+                    lat, lb, s, jnp.int64(de.window_n), de.state_n, bits
+                )
+            )(latents.reshape(1, -1), delta_latents.reshape(1, -1),
+              jnp.asarray(st))
             return out.reshape(latents.shape)
         momentsw = np.zeros((cp.n_pages, 32), dtype=np.uint64)
         momentsw[:, : vp.moments.shape[1]] = vp.moments
-        return f(latents, delta_latents, jnp.asarray(momentsw))
+        if _LB_RECON_XLA:
+            # A/B reference: log-depth pointer doubling via XLA gathers
+            return jax.vmap(
+                lambda lat, lb, s: xops._lookback_decode(
+                    lat, lb, s, jnp.int64(de.window_n), de.state_n, bits
+                )
+            )(latents, delta_latents, jnp.asarray(momentsw))
+        return _lookback_decode_pages_pallas(
+            latents, delta_latents, jnp.asarray(momentsw), de.window_n,
+            de.state_n, bits,
+        )
     # conv1
     aux = np.zeros(36, dtype=np.int64)
     aux[1] = de.quantization

@@ -21,6 +21,11 @@ PCODEC_TRAIN_TRACE=1 PCODEC_BENCH_CHUNK_N=$((1<<22)) timeout 1200 python bench.p
 PCODEC_BENCH_ANS_CAP=7 timeout 1200 python bench.py 2>&1 | tail -3
 PCODEC_BENCH_ANS_CAP=8 timeout 1200 python bench.py 2>&1 | tail -3
 
+# 2c. lookback reconstruction A/B: Pallas lane-gather kernel (default) vs
+# XLA pointer doubling — compare the wrapped-lookback config's decode GB/s
+PCODEC_BENCH_ONLY=wrapped_lookback timeout 1200 python bench_matrix.py 2>&1 | tail -3
+PCODEC_LB_RECON=xla PCODEC_BENCH_ONLY=wrapped_lookback timeout 1200 python bench_matrix.py 2>&1 | tail -3
+
 # 3. five-config matrix -> BENCH_MATRIX_r02.json
 timeout 3000 python bench_matrix.py 2>&1 | tail -10
 
