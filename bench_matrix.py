@@ -166,11 +166,16 @@ def main():
 
         w = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[nums.dtype.itemsize]
         expect = np.sum(nums.view(w).astype(np.uint64), dtype=np.uint64)
-        best, ok, plan = time_device(plan_fn, blob, expect)
+        try:
+            best, ok, plan = time_device(plan_fn, blob, expect)
 
-        # one-time byte compare via full readback (excluded from timing)
-        out, _, _ = dev_fn(blob, plan)
-        byte_exact = bool(np.array_equal(out.view(np.uint8), nums.view(np.uint8)))
+            # one-time byte compare via full readback (excluded from timing)
+            out, _, _ = dev_fn(blob, plan)
+            byte_exact = bool(np.array_equal(out.view(np.uint8), nums.view(np.uint8)))
+        except Exception as e:  # one config must not kill the matrix
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(name, json.dumps(results[name]), flush=True)
+            continue
 
         gbps = nums.nbytes / best / 1e9
         results[name] = {

@@ -519,6 +519,12 @@ def _decode_call(schema: LaunchSchema, sec, tables, curs, states0, bodyn, tbl_id
         out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
         grid_spec=grid_spec,
         interpret=_interpret(),
+        # Mosaic's default 16M scoped-vmem check is conservative (v5e has
+        # 128M VMEM); wide schemas (fetch_rows 64 + dual u64 outputs) need
+        # ~17M of stack for the packed windows. The limit only gates the
+        # fit check — demand is schedule-driven — so raising it leaves
+        # already-fitting configs' compilations alone.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
     )(*args)
     return out if isinstance(out, tuple) else (out,)
 
