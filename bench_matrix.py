@@ -17,7 +17,8 @@ decode reduces to an 8-byte checksum that is fetched to force completion
 host-side and cached — the standalone format requires a host boundary walk
 by design (the wrapped format delegates ranges to outer containers).
 
-Writes BENCH_MATRIX_r02.json and prints it.
+Merges results into BENCH_MATRIX_r03.json (existing good entries are kept
+when a config errors) and exits nonzero if any config errored.
 """
 
 import json
@@ -40,7 +41,14 @@ REF = {
     "floatquant_f16": 2.32,
     "wrapped_lookback_multipage": 3.85,
     "dict_i64": 3.49,
+    # realistic-ratio control: reference taxi pickup_ts compresses 6.89x
+    # (columnar_mbp_m3_max_rust1_89.csv); this config is tuned to land near
+    # that ratio so the headline's 8.9x synthetic has a fair-ratio sibling
+    "taxi_i64_realistic_ratio": 3.49,
 }
+
+MATRIX_OUT = "BENCH_MATRIX_r03.json"
+BLOB_CACHE = "/tmp/pcodec_matrix_blobs_v1"
 
 
 def make_configs():
@@ -90,6 +98,14 @@ def make_configs():
     cfgs["dict_i64"] = (
         vals[rng.integers(0, 4, n2)],
         ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)), "pct",
+    )
+
+    # incs 0..600 lands the ratio at ~6.87 (vs reference taxi's 6.89)
+    incs_r = rng.integers(0, 600, n2)
+    jumps_r = rng.random(n2) < 0.001
+    cfgs["taxi_i64_realistic_ratio"] = (
+        np.cumsum(incs_r + jumps_r * rng.integers(0, 10**6, n2)).astype(np.int64),
+        None, "standalone",
     )
     return cfgs
 
@@ -146,22 +162,32 @@ def main():
     import pcodec_tpu.ops.pallas_decode as pd
 
     only = os.environ.get("PCODEC_BENCH_ONLY", "")
+    os.makedirs(BLOB_CACHE, exist_ok=True)
     results = {}
+    n_errors = 0
     for name, (nums, cfg, fmt) in make_configs().items():
         if only and only not in name:
             continue
-        t0 = time.time()
         if fmt == "standalone":
-            blob = simple_compress(nums, cfg)
             plan_fn = pd.plan_standalone
-            decode_host = lambda b: simple_decompress(b)[0]
             dev_fn = pd.decode_standalone_device
         else:
-            blob = container_compress(nums, cfg)
             plan_fn = pd.plan_container
-            decode_host = container_decompress
             dev_fn = pd.decode_container_device
-        compress_secs = time.time() - t0
+        # host compression of tens of MM numbers costs minutes on this VM;
+        # cache blobs so A/B reruns only pay the device side
+        cache = os.path.join(BLOB_CACHE, f"{name}_{len(nums)}.bin")
+        t0 = time.time()
+        if os.path.exists(cache):
+            with open(cache, "rb") as fh:
+                blob = fh.read()
+            compress_secs = 0.0
+        else:
+            compress = simple_compress if fmt == "standalone" else container_compress
+            blob = compress(nums, cfg)
+            compress_secs = time.time() - t0
+            with open(cache, "wb") as fh:
+                fh.write(blob)
         ratio = nums.nbytes / len(blob)
 
         w = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[nums.dtype.itemsize]
@@ -173,6 +199,7 @@ def main():
             out, _, _ = dev_fn(blob, plan)
             byte_exact = bool(np.array_equal(out.view(np.uint8), nums.view(np.uint8)))
         except Exception as e:  # one config must not kill the matrix
+            n_errors += 1
             results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(name, json.dumps(results[name]), flush=True)
             continue
@@ -194,9 +221,24 @@ def main():
         print(name, json.dumps(results[name]), flush=True)
 
     if not only:  # a filtered A/B run must not overwrite the full matrix
-        with open("BENCH_MATRIX_r02.json", "w") as f:
-            json.dump(results, f, indent=1)
+        # merge: never replace a previously good measurement with an error
+        prior = {}
+        if os.path.exists(MATRIX_OUT):
+            try:
+                with open(MATRIX_OUT) as f:
+                    prior = json.load(f)
+            except Exception:
+                prior = {}
+        merged = dict(prior)
+        for name, res in results.items():
+            if "error" in res and "error" not in merged.get(name, {"error": 1}):
+                continue
+            merged[name] = res
+        with open(MATRIX_OUT, "w") as f:
+            json.dump(merged, f, indent=1)
     print(json.dumps({"matrix": results}))
+    if n_errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

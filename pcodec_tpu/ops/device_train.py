@@ -43,11 +43,14 @@ U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _TRAIN_TRACE = bool(int(__import__("os").environ.get("PCODEC_TRAIN_TRACE", "0")))
 
-# A/B: 1 = evaluate the lookback delta candidate on the host from a fetched
-# delta sample (the pre-round-2 path); 0 (default) = run the chooser scan on
-# device and fetch only packed bins, keeping the ~10 MB sample transfer off
-# the encode critical path. Outputs are byte-identical either way.
-_LB_HOST = bool(int(__import__("os").environ.get("PCODEC_LB_HOST", "0")))
+# A/B: 1 (default) = evaluate the lookback delta candidate on the host from
+# a fetched delta sample; 0 = run the chooser scan on device and fetch only
+# packed bins. Measured on TPU 2026-08-19 (64M taxi i64, warm): the device
+# chooser scan is a ~21k-step lax.scan whose serial per-step overhead costs
+# ~3.8 s of device time on the train critical path, while the host path's
+# ~10.9 MB sample fetch rides a worker thread and the native chooser takes
+# ~ms — train 0.97 s vs 4.32 s. Outputs are byte-identical either way.
+_LB_HOST = bool(int(__import__("os").environ.get("PCODEC_LB_HOST", "1")))
 
 
 def _prefetch(*arrays):
