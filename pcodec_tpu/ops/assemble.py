@@ -1,0 +1,713 @@
+"""Device-side PCT file-image assembly: the encoder's mirror of the decode
+realign kernel.
+
+Motivation (NOTES.md): device->host transfers through this environment's
+tunnel run at MB/s, so an encoder that fetches compressed sections to the
+host for file assembly can never approach the reference's end-to-end
+compress throughput (0.556 GB/s on one M3 core,
+/root/reference/docs/benchmark_results/columnar_mbp_m3_max_rust1_89.csv).
+Production TPU encode keeps everything in HBM: the EB/EC kernels emit
+per-page section words, and this module stitches them — together with
+device-packed page metadata and the container directory — into the final
+byte-exact `.pct` file image ON DEVICE. Only a small guard/size scalar
+vector crosses the tunnel before the (untimed, one-time) byte-compare
+readback.
+
+File layout produced (see codec/container.py): the head (PCT header +
+directory) is dense and word-aligned by construction, so it is a plain
+device concat. The body is a bit-exact wrapped pco stream: per page,
+[chunk-boundary prefix bytes: wrapped header + chunk meta, host-serialized
+since they carry the trained bins] [page meta: delta-state latents + 4 ANS
+final-state idxs, bit-packed LSB-first then byte-padded — ref
+pco/src/metadata/page.rs via format/metadata.py PageMeta.write_to] then the
+byte-aligned section bytes from the EC kernel. Pages land at arbitrary byte
+offsets, so the body is a ragged concat of three row streams:
+
+  A: page-meta rows (device-packed from EC final states + delta moments)
+  B: section rows (EC kernel output, one row per page)
+  C: chunk-boundary prefix rows (host bytes, device byte-shifted)
+
+Each stream is pre-shifted by its destination offset mod 4 (a dense
+4-variant select), after which placement is a pure word-level OR: adjacent
+rows share at most boundary words, and both the EC kernel and the BitWriter
+leave out-of-payload bits zero, so OR composes exactly like the host
+writer's own OR-merging bit stream.
+
+Two stitch implementations:
+  - _stitch_xla: gather-based reference (correct everywhere; tests compare
+    it and the kernel against the host encoder byte-for-byte)
+  - the superblock Pallas kernel (_stitch_pass): the body is cut into
+    SB_WORDS superblocks; pass p's grid step i owns the PRIVATE contiguous
+    2-superblock output region starting at superblock 2i+p and deposits
+    exactly the rows STARTING in superblock 2i+p (every row fits inside
+    one 2-superblock span since max row bytes <= 4*SB_WORDS/2). Pass
+    outputs are contiguous flat images offset by 0 / SB_WORDS; the file
+    body is their OR — no cross-step aliasing, no write races. Row words
+    are extracted with the realign kernel's sublane-roll trick and placed
+    with dynamic lane rolls.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pcodec_tpu import constants as c
+
+BATCH = c.FULL_BATCH_N
+SB_WORDS = 4096          # superblock: 16 KB; every row must fit in 2*SB
+_GUARD_CAP = 1 << 16     # superblock-count cap for the guard histogram
+_W_BUCKET = 1 << 18      # XLA-stitch output size classes (words)
+
+
+def _interpret():
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+# ---------------------------------------------------------------------------
+# layout: the static (hashable) description of one assembly problem
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ImageLayout:
+    page_n: int
+    n_chunks: int
+    rows_per_chunk: int            # device row pitch per chunk (moments etc.)
+    pages_per_chunk: tuple         # (n_full, rem_page_len) per chunk
+    orders: tuple                  # consecutive delta order per chunk
+    sls: tuple                     # ans_size_log per chunk
+    ts: tuple                      # real tANS table size per chunk
+    bits: int                      # primary latent bits (64/32/16)
+    meta_bytes: tuple              # page meta bytes per chunk
+    pfx_bytes: tuple               # chunk-boundary prefix bytes per chunk
+    sec_words: int                 # EC section row words (schema.sec_words)
+
+    @property
+    def n_pages(self):
+        return tuple(nf + (1 if rem else 0) for nf, rem in self.pages_per_chunk)
+
+    @property
+    def total_pages(self):
+        return int(sum(self.n_pages))
+
+    @property
+    def max_order(self):
+        return max(self.orders) if self.orders else 0
+
+    def page_lens(self):
+        out = []
+        for nf, rem in self.pages_per_chunk:
+            out.extend([self.page_n] * nf)
+            if rem:
+                out.append(rem)
+        return np.asarray(out, np.int64)
+
+    def chain_of_page(self):
+        """Real page index -> chain index in the (single) launch, whose
+        chains are the jobs' pages each padded to a 256 multiple."""
+        out = []
+        start = 0
+        for npg in self.n_pages:
+            out.extend(range(start, start + npg))
+            start += npg + ((-npg) % 256)
+        return np.asarray(out, np.int32)
+
+    def mrow_of_page(self):
+        out = []
+        for ci, npg in enumerate(self.n_pages):
+            base = ci * self.rows_per_chunk
+            out.extend(range(base, base + npg))
+        return np.asarray(out, np.int32)
+
+    def chunk_of_page(self):
+        return np.repeat(
+            np.arange(self.n_chunks, dtype=np.int32),
+            np.asarray(self.n_pages, np.int64),
+        )
+
+    def page0_of_chunk(self):
+        return np.cumsum([0] + list(self.n_pages[:-1])).astype(np.int32)
+
+    def dir_entry_pages(self):
+        lens = self.page_lens()
+        nb = -(-lens // BATCH)
+        pages = np.repeat(np.arange(len(lens), dtype=np.int32), nb)
+        batches = np.concatenate(
+            [np.arange(k, dtype=np.int32) for k in nb]) if len(lens) else \
+            np.zeros(0, np.int32)
+        return pages, batches
+
+
+# ---------------------------------------------------------------------------
+# device prep: rows, offsets, head, guards
+# ---------------------------------------------------------------------------
+
+
+def _byte_shift_rows(rows, s_bytes):
+    """Shift each row right by s_bytes in {0..3} (little-endian bit stream:
+    payload bit b -> bit b + 8*s). rows: (R, W) uint32 -> (R, W+1)."""
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((rows.shape[0], 1), rows.dtype)], axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((rows.shape[0], 1), rows.dtype), rows[:, :-1]], axis=1)
+    s = (s_bytes.astype(jnp.uint32) * 8)[:, None]
+    s_safe = jnp.maximum(s, jnp.uint32(1))
+    shifted = (rows << s_safe) | (prev >> (jnp.uint32(32) - s_safe))
+    return jnp.where(s == 0, rows, shifted)
+
+
+def _pack_meta_group(moments_g, idxs_g, order, sl, bits, mw):
+    """Pack page metas for one (order, sl) chunk group at bit offset 0.
+
+    Wire layout (PageMeta.write_to): order delta-state latents at `bits`
+    each, then 4 ANS final-state idxs at `sl` bits, LSB-first in the
+    little-endian byte stream — so u32 word w holds bits [32w, 32w+32)."""
+    G = moments_g.shape[0]
+    words = [jnp.zeros((G,), jnp.uint64) for _ in range(mw)]
+    cursor = 0
+    fields = [(moments_g[:, k], bits) for k in range(order)]
+    fields += [(idxs_g[:, k], sl) for k in range(4)]
+    for val, nb in fields:
+        if nb <= 0:
+            continue
+        mask = (jnp.uint64((1 << nb) - 1) if nb < 64
+                else jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        val = val.astype(jnp.uint64) & mask
+        w0 = cursor >> 5
+        w1 = (cursor + nb - 1) >> 5
+        for w in range(w0, min(w1, mw - 1) + 1):
+            sh = cursor - 32 * w
+            contrib = (val << jnp.uint64(sh)) if sh >= 0 \
+                else (val >> jnp.uint64(-sh))
+            words[w] = words[w] | (contrib & jnp.uint64(0xFFFFFFFF))
+        cursor += nb
+    return jnp.stack(words, axis=1).astype(jnp.uint32)
+
+
+def _max_run(F0):
+    """Max count of rows sharing one start word (K guard for the stitch)."""
+    R = F0.shape[0]
+    first = jnp.searchsorted(F0, F0, side="left")
+    return jnp.max(jnp.arange(R, dtype=jnp.int64) - first.astype(jnp.int64)) + 1
+
+
+def _max_per_sb(F0):
+    sb = jnp.clip(F0.astype(jnp.int64) // SB_WORDS, 0, _GUARD_CAP - 1)
+    cnt = jnp.zeros((_GUARD_CAP,), jnp.int32).at[sb].add(1)
+    return jnp.max(cnt).astype(jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("layout",))
+def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
+                   total_bits, moments, head_host_words, pfx_words):
+    """All-device row construction. Returns dict of device arrays: the three
+    pre-shifted row streams + their (F0, lenW) tables, the dense head words,
+    and guard scalars [body_bytes, body_words, nsb, maxA, maxB, maxC,
+    runA, runB, runC]."""
+    R = layout.total_pages
+    chain_idx = jnp.asarray(layout.chain_of_page())
+    mrow_idx = jnp.asarray(layout.mrow_of_page())
+    cofp = jnp.asarray(layout.chunk_of_page())
+
+    T = sections.shape[0]
+    SEC = layout.sec_words
+    sec2d = sections.reshape(T * 256, SEC)[chain_idx]               # (R, SEC)
+    st4 = fstates.reshape(T, 8, 32, 4).transpose(0, 2, 1, 3)
+    st4 = st4.reshape(T * 256, 4)[chain_idx]                        # (R, 4)
+    tb = total_bits[chain_idx].astype(jnp.int64)
+
+    meta_bytes_row = jnp.asarray(np.asarray(layout.meta_bytes, np.int64))[cofp]
+    pfx_np = np.zeros(R, np.int64)
+    pfx_np[layout.page0_of_chunk()] = np.asarray(layout.pfx_bytes, np.int64)
+    pfx_bytes_row = jnp.asarray(pfx_np)
+
+    sec_bytes = (tb + 7) >> 3
+    row_total = pfx_bytes_row + meta_bytes_row + sec_bytes
+    starts = jnp.cumsum(row_total) - row_total
+    body_bytes = starts[-1] + row_total[-1]
+
+    off_meta = starts + pfx_bytes_row
+    off_sec = off_meta + meta_bytes_row
+
+    # ---- A: page-meta rows ----
+    ts_row = jnp.asarray(np.asarray(layout.ts, np.int64))[cofp]
+    idxs = (st4.astype(jnp.int64) - ts_row[:, None]).astype(jnp.uint64)
+    mo = layout.max_order
+    mom = moments[mrow_idx, :] if mo else jnp.zeros((R, 0), jnp.uint64)
+    mw = max(1, -(-max(o * layout.bits + 4 * sl + 24
+                       for o, sl in zip(layout.orders, layout.sls)) // 32))
+    groups = {}
+    for ci2, (o, sl) in enumerate(zip(layout.orders, layout.sls)):
+        groups.setdefault((o, sl), []).append(ci2)
+    if len(groups) == 1:
+        ((o, sl),) = groups.keys()
+        rowsA0 = _pack_meta_group(mom[:, :o], idxs, o, sl, layout.bits, mw)
+    else:
+        rowsA0 = jnp.zeros((R, mw), jnp.uint32)
+        cofp_np = layout.chunk_of_page()
+        for (o, sl), cis in groups.items():
+            sel = jnp.asarray(
+                np.nonzero(np.isin(cofp_np, np.asarray(cis)))[0].astype(np.int32))
+            packed = _pack_meta_group(
+                mom[sel][:, :o], idxs[sel], o, sl, layout.bits, mw)
+            rowsA0 = rowsA0.at[sel].set(packed)
+    rowsA = _byte_shift_rows(rowsA0, (off_meta & 3))
+    F0A = (off_meta >> 2).astype(jnp.int32)
+    lenA = ((meta_bytes_row + (off_meta & 3) + 3) >> 2).astype(jnp.int32)
+
+    # ---- B: section rows ----
+    rowsB = _byte_shift_rows(
+        jax.lax.bitcast_convert_type(sec2d, jnp.uint32), (off_sec & 3))
+    F0B = (off_sec >> 2).astype(jnp.int32)
+    lenB = ((sec_bytes + (off_sec & 3) + 3) >> 2).astype(jnp.int32)
+
+    # ---- C: chunk-boundary prefix rows ----
+    p0 = jnp.asarray(layout.page0_of_chunk())
+    off_c = starts[p0]
+    rowsC = _byte_shift_rows(pfx_words, (off_c & 3))
+    F0C = (off_c >> 2).astype(jnp.int32)
+    lenC = ((jnp.asarray(np.asarray(layout.pfx_bytes, np.int64))
+             + (off_c & 3) + 3) >> 2).astype(jnp.int32)
+
+    # ---- head: [header + chunk_ns + chunk_meta_bytes] ++ page_bytes ++
+    # [all pages' ans u16 entries] ++ [all pages' off u16 entries] ----
+    page_bytes = (meta_bytes_row + sec_bytes).astype(jnp.uint32)
+    ep_np, eb_np = layout.dir_entry_pages()
+    ans_e = ans_len[chain_idx][jnp.asarray(ep_np), jnp.asarray(eb_np)]
+    off_e = off_len[chain_idx][jnp.asarray(ep_np), jnp.asarray(eb_np)]
+    vals16 = jnp.concatenate([ans_e, off_e]).astype(jnp.uint32)
+    ansoff = vals16[0::2] | (vals16[1::2] << 16)
+    head_words = jnp.concatenate([head_host_words, page_bytes, ansoff])
+
+    body_words = (body_bytes + 3) >> 2
+    nsb = (body_words + SB_WORDS - 1) // SB_WORDS
+    guards = jnp.stack([
+        body_bytes, body_words, nsb,
+        _max_per_sb(F0A), _max_per_sb(F0B), _max_per_sb(F0C),
+        _max_run(F0A), _max_run(F0B), _max_run(F0C),
+    ])
+
+    return dict(
+        rowsA=rowsA, F0A=F0A, lenA=lenA,
+        rowsB=rowsB, F0B=F0B, lenB=lenB,
+        rowsC=rowsC, F0C=F0C, lenC=lenC,
+        head_words=head_words, guards=guards,
+    )
+
+
+# ---------------------------------------------------------------------------
+# stitch: XLA reference
+# ---------------------------------------------------------------------------
+
+
+def _stitch_stream_xla(out, rows, F0, lenW, K):
+    W = out.shape[0]
+    w = jnp.arange(W, dtype=jnp.int32)
+    r = jnp.searchsorted(F0, w, side="right").astype(jnp.int32) - 1
+    Wrow = rows.shape[1]
+    for k in range(K):
+        rk = r - k
+        rkc = jnp.clip(rk, 0, rows.shape[0] - 1)
+        l = w - F0[rkc]
+        valid = (rk >= 0) & (l >= 0) & (l < lenW[rkc]) & (l < Wrow)
+        word = rows[rkc, jnp.clip(l, 0, Wrow - 1)]
+        out = out | jnp.where(valid, word, jnp.uint32(0))
+    return out
+
+
+@partial(jax.jit, static_argnames=("W_pad", "K"))
+def _stitch_xla(rowsA, F0A, lenA, rowsB, F0B, lenB, rowsC, F0C, lenC,
+                W_pad: int, K: int = 8):
+    out = jnp.zeros((W_pad,), jnp.uint32)
+    out = _stitch_stream_xla(out, rowsA, F0A, lenA, K)
+    out = _stitch_stream_xla(out, rowsB, F0B, lenB, K)
+    out = _stitch_stream_xla(out, rowsC, F0C, lenC, min(K, 3))
+    return out
+
+
+
+
+# ---------------------------------------------------------------------------
+# stitch: superblock Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _pad_lane128(rows):
+    pad = (-rows.shape[1]) % 128
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((rows.shape[0], pad), rows.dtype)], axis=1)
+    return rows
+
+
+def _pad_rows8(rows):
+    pad = (-rows.shape[0]) % 8
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad,) + rows.shape[1:], rows.dtype)], axis=0)
+    return rows
+
+
+def _stream_blocks(rows, F0, lenW):
+    """(R, W) rows -> ((RB, 8, Wp) int32 row blocks, (RB, 8, 2) int32 SMEM
+    tables carrying [F0, lenW] per row; padded rows get len 0)."""
+    rows = _pad_rows8(_pad_lane128(
+        jax.lax.bitcast_convert_type(rows, jnp.int32)))
+    R = F0.shape[0]
+    pad = (-R) % 8
+    tab = jnp.stack([F0, lenW], axis=1)
+    if pad:
+        filler = jnp.zeros((pad, 2), jnp.int32).at[:, 0].set(
+            jnp.int32(0x7FFFFFF0))
+        tab = jnp.concatenate([tab, filler], axis=0)
+    RB = rows.shape[0] // 8
+    return rows.reshape(RB, 8, rows.shape[1]), tab.reshape(RB, 8, 2)
+
+
+def _stitch_pass_kernel(meta, sc_ref, *refs):
+    """meta = (parity, streams): streams = tuple of (P, WB, NV). refs per
+    stream: WB row blocks (1, 8, NV*128) VMEM + WB tables (1, 8, 2) SMEM;
+    then the (1, NVO, 8, 128) output block (this step's private contiguous
+    2-superblock region)."""
+    parity, streams = meta
+    i = pl.program_id(0)
+    with jax.enable_x64(False):
+        ptr = 0
+        wins, tabs = [], []
+        for (P, WB, NV) in streams:
+            wins.append(refs[ptr:ptr + WB]); ptr += WB
+            tabs.append(refs[ptr:ptr + WB]); ptr += WB
+        out_ref = refs[ptr]
+
+        NVO = out_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        zero = jnp.zeros((8, 128), jnp.int32)
+        for v in range(NVO):
+            out_ref[0, v] = zero
+
+        sb_base = (2 * i + parity) * SB_WORDS
+
+        for s, (P, WB, NV) in enumerate(streams):
+            lo = sc_ref[3 * s, i]
+            n = sc_ref[3 * s + 1, i]
+            base8 = sc_ref[3 * s + 2, i] * 8
+
+            def do_row(j, s=s, P=P, WB=WB, NV=NV, lo=lo, base8=base8):
+                widx = lo + j - base8
+                blk = widx // 8
+                sub = widx % 8
+                for b in range(WB):
+                    @pl.when(blk == b)
+                    def _(b=b):
+                        f0 = tabs[s][b][0, sub, 0]
+                        lw = tabs[s][b][0, sub, 1]
+                        local = f0 - sb_base
+                        for v in range(NV):
+                            @pl.when(v * 128 < lw)
+                            def _(v=v, b=b):
+                                tile = wins[s][b][0, :, v * 128:(v + 1) * 128]
+                                # dynamic-index sublane loads don't lower;
+                                # roll the target row to sublane 0 instead
+                                rolled8 = pltpu.roll(tile, (8 - sub) % 8,
+                                                     axis=0)
+                                row = jnp.broadcast_to(
+                                    rolled8[0:1, :], (8, 128))
+                                row = jnp.where(lane + v * 128 < lw, row, 0)
+                                off = local + v * 128
+                                ow = off // 128
+                                sh = off % 128
+                                rl = pltpu.roll(row, sh, axis=1)
+                                parts = (
+                                    (jnp.where(lane >= sh, rl, 0), ow),
+                                    (jnp.where(lane < sh, rl, 0), ow + 1),
+                                )
+                                for part, owp in parts:
+                                    @pl.when((owp >= 0) & (owp < 8 * NVO))
+                                    def _(part=part, owp=owp):
+                                        d0 = owp // 8
+                                        d1 = owp % 8
+                                        cur = out_ref[0, d0]
+                                        out_ref[0, d0] = jnp.where(
+                                            subl == d1, cur | part, cur)
+
+            for j in range(P):
+                @pl.when(j < n)
+                def _(j=j):
+                    do_row(j)
+
+
+@partial(jax.jit, static_argnames=("nsteps", "parity", "caps"))
+def _stitch_pass(rowsA, F0A, lenA, rowsB, F0B, lenB, rowsC, F0C, lenC,
+                 nsteps: int, parity: int, caps: tuple):
+    """One pass: grid step i deposits the rows starting in superblock
+    2i+parity into its private contiguous 2-superblock region. Returns the
+    flat (nsteps * 2 * SB_WORDS,) int32 image of those regions."""
+    PA, PB, PC = caps
+    streams_in = ((rowsA, F0A, lenA, PA), (rowsB, F0B, lenB, PB),
+                  (rowsC, F0C, lenC, PC))
+    NVO = 2 * SB_WORDS // 1024
+
+    sc_rows = []
+    specs = []
+    args = []
+    meta_streams = []
+    for si, (rows, F0, lenW, P) in enumerate(streams_in):
+        blocks, tab = _stream_blocks(rows, F0, lenW)
+        RB = blocks.shape[0]
+        WB = P // 8 + 2
+        NV = blocks.shape[2] // 128
+        meta_streams.append((P, WB, NV))
+        sbs = (jnp.arange(nsteps, dtype=jnp.int64) * 2 + parity) * SB_WORDS
+        lo = jnp.searchsorted(F0.astype(jnp.int64), sbs, side="left")
+        hi = jnp.searchsorted(F0.astype(jnp.int64), sbs + SB_WORDS,
+                              side="left")
+        base_blk = jnp.clip(lo // 8, 0, max(RB - 1, 0))
+        sc_rows += [lo.astype(jnp.int32), (hi - lo).astype(jnp.int32),
+                    base_blk.astype(jnp.int32)]
+        for b in range(WB):
+            specs.append(pl.BlockSpec(
+                (1, 8, blocks.shape[2]),
+                (lambda i, sc, si=si, b=b, RB=RB:
+                 (jnp.minimum(sc[3 * si + 2, i] + b, RB - 1),
+                  jnp.int32(0), jnp.int32(0))),
+                memory_space=pltpu.VMEM))
+            args.append(blocks)
+        for b in range(WB):
+            specs.append(pl.BlockSpec(
+                (1, 8, 2),
+                (lambda i, sc, si=si, b=b, RB=RB:
+                 (jnp.minimum(sc[3 * si + 2, i] + b, RB - 1),
+                  jnp.int32(0), jnp.int32(0))),
+                memory_space=pltpu.SMEM))
+            args.append(tab)
+
+    sc = jnp.stack(sc_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (1, NVO, 8, 128),
+            lambda i, sc: (i, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_stitch_pass_kernel, (parity, tuple(meta_streams))),
+        out_shape=jax.ShapeDtypeStruct((nsteps, NVO, 8, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(sc, *args)
+    return out.reshape(-1)
+
+
+def stitch_pallas(prep, nsb: int, caps: tuple):
+    """Two-pass stitch. Returns (ceil(nsb/2)*2*SB_WORDS,) uint32 body."""
+    a = prep
+    nsteps0 = max((nsb + 1) // 2, 1)
+    p0 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"], a["rowsB"], a["F0B"],
+                      a["lenB"], a["rowsC"], a["F0C"], a["lenC"],
+                      nsteps=nsteps0, parity=0, caps=caps)
+    out = p0
+    nsteps1 = nsb // 2
+    if nsteps1 > 0:
+        p1 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"], a["rowsB"],
+                          a["F0B"], a["lenB"], a["rowsC"], a["F0C"],
+                          a["lenC"], nsteps=nsteps1, parity=1, caps=caps)
+        n1 = min(p1.shape[0], out.shape[0] - SB_WORDS)
+        out = out.at[SB_WORDS:SB_WORDS + n1].set(
+            out[SB_WORDS:SB_WORDS + n1] | p1[:n1])
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# public entry: full device container encode to a file image
+# ---------------------------------------------------------------------------
+
+
+def _bucket(x, choices):
+    for ch in choices:
+        if x <= ch:
+            return ch
+    return None
+
+
+def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20):
+    """Train (plan_encode_device) + build the image layout. Returns None
+    when this input is outside the image path's coverage (the caller falls
+    back to pallas_encode.encode_container_device, byte-identical output).
+
+    Coverage: every chunk on the device pipeline, single launch group,
+    single (primary) latent var, consecutive/noop delta — i.e. Classic and
+    Dict chunks, which includes every auto-mode int winner on taxi-like
+    data. Multi-var modes (IntMult/Float*) and lookback keep the host
+    assembly for now.
+    """
+    import struct
+    from pcodec_tpu.codec import container as ctn
+    from pcodec_tpu.codec.wrapped import FileCompressor
+    from pcodec_tpu.format.bitio import BitWriter
+    from pcodec_tpu.format.metadata import DeltaEncoding
+    from pcodec_tpu.ops import pallas_encode as pe
+    from pcodec_tpu.ops.device_train import plan_encode_device
+
+    extras = {}
+    planned = plan_encode_device(nums, config, page_n, chunk_n, extras=extras)
+    if planned is None or "moments_dev" not in extras:
+        return None
+    nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
+    if len(groups) != 1:
+        return None
+    if not all(kind == "device" for kind, _ in chunk_jobs):
+        return None
+    for ci, (kind, jlist) in enumerate(chunk_jobs):
+        if not isinstance(jlist, list) or len(jlist) != 1:
+            return None
+        if jlist[0].get("var", "primary") != "primary":
+            return None
+        de = ccs[ci].meta.delta_encoding
+        if de.kind not in (DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE):
+            return None
+
+    (schema, jobs, dev_args), = pe._build_launch_args(groups, dev_rows=dev_rows)
+    assert [j["ci"] for j in jobs] == list(range(len(ccs)))
+
+    # host bytes: wrapped header + chunk metas (they carry the trained bins)
+    w = BitWriter()
+    FileCompressor().write_header(w)
+    wrapped_hdr = w.to_bytes()
+    prefixes = []
+    for ci, cc in enumerate(ccs):
+        mw_ = BitWriter()
+        cc.write_meta(mw_)
+        m = mw_.to_bytes()
+        prefixes.append((wrapped_hdr + m) if ci == 0 else m)
+    if max(len(p) for p in prefixes) > (SB_WORDS * 4) // 2 - 64:
+        return None  # giant chunk meta (huge dict): keep host assembly
+
+    plt_bits = ccs[0].meta.mode.primary_latent_type(nt.latent).bits
+    orders, sls, tss, meta_bytes = [], [], [], []
+    for ci, cc in enumerate(ccs):
+        de = cc.meta.delta_encoding
+        o = de.order if de.kind == DeltaEncoding.CONSECUTIVE else 0
+        sl = cc.meta.per_latent_var.primary.ans_size_log
+        orders.append(int(o))
+        sls.append(int(sl))
+        tss.append(int(jobs[ci]["tables"][4]))
+        meta_bytes.append((o * plt_bits + 4 * sl + 7) // 8)
+
+    pages_pc = []
+    for cn in chunk_ns:
+        pages_pc.append((cn // page_n, cn % page_n))
+
+    layout = ImageLayout(
+        page_n=page_n, n_chunks=len(chunk_ns),
+        rows_per_chunk=extras["rows_per_chunk"],
+        pages_per_chunk=tuple(pages_pc), orders=tuple(orders),
+        sls=tuple(sls), ts=tuple(tss), bits=plt_bits,
+        meta_bytes=tuple(meta_bytes),
+        pfx_bytes=tuple(len(p) for p in prefixes),
+        sec_words=schema.sec_words,
+    )
+
+    # head host bytes: PCT header (dir_bytes is layout-static) + chunk dirs
+    R = layout.total_pages
+    E = int(sum(-(-l // BATCH) for l in layout.page_lens()))
+    # ans + off u16 regions total 4E bytes (always word-aligned; for odd E
+    # the last ans entry shares a word with the first off entry)
+    dir_bytes = 8 * len(chunk_ns) + 4 * R + 4 * E
+    header = struct.pack(
+        ctn.HEADER_FMT, ctn.MAGIC, nt.type_byte, 1, 0, page_n,
+        len(nums), len(chunk_ns), dir_bytes)
+    # chunk 0's prefix carries the wrapped header, which is NOT part of its
+    # chunk_meta_bytes directory entry
+    cmb = [len(p) for p in prefixes]
+    cmb[0] -= len(wrapped_hdr)
+    head_host = (header
+                 + np.asarray(chunk_ns, np.uint32).tobytes()
+                 + np.asarray(cmb, np.uint32).tobytes())
+    head_host_words = jnp.asarray(
+        np.frombuffer(head_host, np.uint8).view(np.uint32).copy())
+    head_bytes = len(head_host) + 4 * R + 4 * E
+
+    pw = max(1, -(-max(len(p) for p in prefixes) // 4))
+    pfx_np = np.zeros((len(prefixes), pw * 4), np.uint8)
+    for ci, p in enumerate(prefixes):
+        pfx_np[ci, :len(p)] = np.frombuffer(p, np.uint8)
+    pfx_words = jnp.asarray(pfx_np.view(np.uint32))
+
+    return dict(layout=layout, schema=schema, dev_args=dev_args,
+                moments_dev=extras["moments_dev"],
+                head_host_words=head_host_words, pfx_words=pfx_words,
+                head_bytes=head_bytes, nt=nt, ccs=ccs)
+
+
+def run_image(plan, use_pallas: bool = True):
+    """Run EB/EC + prep + stitch. Returns (head_words, body_words,
+    head_bytes, body_bytes) with both word arrays device-resident."""
+    from pcodec_tpu.ops import pallas_encode as pe
+
+    schema = plan["schema"]
+    run = jax.jit(partial(pe._run_launch_device, schema))
+    sections, fstates, ans_len, off_len, total_bits = run(*plan["dev_args"])
+    prep = _prepare_image(
+        plan["layout"], sections, fstates, ans_len, off_len, total_bits,
+        plan["moments_dev"], plan["head_host_words"], plan["pfx_words"])
+    guards = np.asarray(prep["guards"])
+    body_bytes = int(guards[0])
+    nsb = int(guards[2])
+    caps = []
+    for g in guards[3:6]:
+        b = _bucket(int(g), (8, 16, 32, 64))
+        caps.append(b)
+    if use_pallas and all(c_ is not None for c_ in caps):
+        body = stitch_pallas(prep, nsb, tuple(caps))
+    else:
+        K = _bucket(int(max(guards[6:9])) + 1, (4, 8, 16))
+        if K is None:
+            return None  # pathological row clustering: host assembly
+        W_pad = _round_up(max(int(guards[1]), 1), _W_BUCKET)
+        body = _stitch_xla(
+            prep["rowsA"], prep["F0A"], prep["lenA"],
+            prep["rowsB"], prep["F0B"], prep["lenB"],
+            prep["rowsC"], prep["F0C"], prep["lenC"], W_pad=W_pad, K=K)
+    return prep["head_words"], body, plan["head_bytes"], body_bytes
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def encode_container_image_device(nums, config=None, page_n: int = 1024,
+                                  chunk_n: int = 1 << 20,
+                                  use_pallas: bool = True):
+    """Full device container encode to an HBM-resident file image.
+
+    Returns (head_words, body_words, head_bytes, body_bytes) or None when
+    the input is outside the image path (caller falls back to
+    pallas_encode.encode_container_device; output bytes are identical
+    either way)."""
+    plan = plan_image(nums, config, page_n, chunk_n)
+    if plan is None:
+        return None
+    return run_image(plan, use_pallas=use_pallas)
+
+
+def file_image_to_bytes(head_words, body_words, head_bytes, body_bytes):
+    hb = np.asarray(head_words).view(np.uint8)[:head_bytes]
+    bb = np.asarray(body_words).view(np.uint8)[:body_bytes]
+    return hb.tobytes() + bb.tobytes()

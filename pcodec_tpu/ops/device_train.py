@@ -1268,10 +1268,15 @@ class DeviceChunkTrain:
 
 
 def plan_encode_device(nums, config: Optional[ChunkConfig],
-                       page_n: int, chunk_n: int):
+                       page_n: int, chunk_n: int, extras: Optional[dict] = None):
     """Device-train drop-in for pallas_encode._plan_encode. Returns
     (nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows) or None when the
     configuration isn't covered (caller falls back to the host planner).
+
+    extras (optional dict): filled with device handles the file-image
+    assembler (ops/assemble.py) needs beyond the launch jobs —
+    moments_dev (per page row delta states, still on device) and
+    rows_per_chunk (the device row pitch).
 
     nums may be a numpy array or an already-device-resident jax array
     (production pipelines keep data in HBM; only samples come back).
@@ -1878,6 +1883,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         _SPEC_HINTS.clear()
     dev_rows = ph2["dev_rows"]
     moments_dev = ph2["moments_dev"]
+    if extras is not None:
+        extras["moments_dev"] = moments_dev
+        extras["rows_per_chunk"] = rows_per_chunk
     nreal = ph2["nreal"]
     sec_handles = ph2["sec_handles"]
     sec_row_of = ph2["sec_row_of"]

@@ -638,17 +638,13 @@ def _shardify_launch(mesh, schema, dev_args):
     return jax.jit(step), dev_args, trim
 
 
-def _build_and_run_launches(groups, jit_cache=None, dev_rows=None,
-                            shard_mesh=None):
-    """Build device inputs per launch group and run EB+EC. Returns
-    {ci: outputs} plus per-launch (schema, device args, jitted fn).
-
-    Jobs from the device-train planner (ops/device_train.py) carry a "dev"
-    entry referencing page rows already on the device (dev_rows); those skip
-    the host row building and upload entirely. shard_mesh runs every launch
-    under shard_map over the tile axis (see _shardify_launch)."""
-    results = {}
-    launch_handles = []
+def _build_launch_args(groups, dev_rows=None):
+    """Build per-launch (schema, jobs, dev_args) WITHOUT running the
+    kernels. Mutates each job with chain_start / n_pages bookkeeping (the
+    chain order within a launch is the jobs' iteration order). Shared by
+    _build_and_run_launches (run + fetch) and the device file-image
+    assembler (ops/assemble.py), which keeps the outputs on device."""
+    built = []
     for key, jobs in groups.items():
         pg, ob_class, sec_words = key
         ts_pad = max(128, 1 << int(np.ceil(np.log2(max(j["tables"][4] for j in jobs)))))
@@ -733,6 +729,22 @@ def _build_and_run_launches(groups, jit_cache=None, dev_rows=None,
 
         dev_args = (latlo, lathi, jnp.asarray(tables.astype(np.int32)), bodyn,
                     states0, jnp.asarray(np.asarray(tbl_ids, dtype=np.int32)))
+        built.append((schema, jobs, dev_args))
+    return built
+
+
+def _build_and_run_launches(groups, jit_cache=None, dev_rows=None,
+                            shard_mesh=None):
+    """Build device inputs per launch group and run EB+EC. Returns
+    {ci: outputs} plus per-launch (schema, device args, jitted fn).
+
+    Jobs from the device-train planner (ops/device_train.py) carry a "dev"
+    entry referencing page rows already on the device (dev_rows); those skip
+    the host row building and upload entirely. shard_mesh runs every launch
+    under shard_map over the tile axis (see _shardify_launch)."""
+    results = {}
+    launch_handles = []
+    for schema, jobs, dev_args in _build_launch_args(groups, dev_rows):
         if shard_mesh is not None:
             run, dev_args, trim = _shardify_launch(shard_mesh, schema, dev_args)
             launch_handles.append((schema, run, dev_args))

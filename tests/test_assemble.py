@@ -1,0 +1,88 @@
+"""Device file-image assembly (ops/assemble.py): the assembled `.pct`
+image must be byte-identical to codec.container.container_compress.
+
+Runs on the CPU interpret path (conftest forces JAX_PLATFORMS=cpu); the
+real-TPU counterpart is exercised by bench.py and the TPU matrix.
+"""
+
+import numpy as np
+import pytest
+
+from pcodec_tpu.codec.container import container_compress
+from pcodec_tpu.codec.chunk_config import ChunkConfig, ModeSpec, DeltaSpec
+
+
+def _image_bytes(nums, cfg=None, page_n=256, chunk_n=131072, use_pallas=True):
+    from pcodec_tpu.ops import assemble
+
+    out = assemble.encode_container_image_device(
+        nums, cfg, page_n, chunk_n, use_pallas=use_pallas)
+    if out is None:
+        return None
+    return assemble.file_image_to_bytes(*out)
+
+
+def _expect(nums, cfg=None, page_n=256, chunk_n=131072):
+    return container_compress(nums, cfg, page_n=page_n, chunk_n=chunk_n)
+
+
+class TestImageXla:
+    def test_taxi_multichunk_ragged(self):
+        rng = np.random.default_rng(7)
+        n = 300_000
+        x = np.cumsum(rng.integers(0, 120, n)).astype(np.int64)
+        got = _image_bytes(x, use_pallas=False)
+        assert got is not None
+        assert got == _expect(x)
+
+    def test_delta_order0_u32(self):
+        rng = np.random.default_rng(8)
+        x = rng.integers(0, 1 << 30, 200_000).astype(np.uint32)
+        cfg = ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONSECUTIVE, 0))
+        got = _image_bytes(x, cfg, use_pallas=False)
+        assert got is not None
+        assert got == _expect(x, cfg)
+
+    def test_high_order(self):
+        rng = np.random.default_rng(9)
+        n = 200_000
+        x = np.cumsum(np.cumsum(rng.integers(0, 9, n))).astype(np.int64)
+        got = _image_bytes(x, use_pallas=False)
+        assert got is not None
+        assert got == _expect(x)
+
+    def test_dict_mode(self):
+        rng = np.random.default_rng(10)
+        vals = np.array([3, 99, 1234567, -5], dtype=np.int64)
+        x = vals[rng.integers(0, 4, 300_000)]
+        cfg = ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT))
+        got = _image_bytes(x, cfg, use_pallas=False)
+        assert got is not None
+        assert got == _expect(x, cfg)
+
+    def test_page1024(self):
+        rng = np.random.default_rng(11)
+        n = 400_000
+        x = np.cumsum(rng.integers(0, 700, n)).astype(np.int64)
+        got = _image_bytes(x, page_n=1024, chunk_n=1 << 18, use_pallas=False)
+        assert got is not None
+        assert got == _expect(x, page_n=1024, chunk_n=1 << 18)
+
+
+class TestImagePallasInterpret:
+    def test_taxi_multichunk_ragged(self):
+        rng = np.random.default_rng(12)
+        n = 300_000
+        x = np.cumsum(rng.integers(0, 120, n)).astype(np.int64)
+        got = _image_bytes(x, use_pallas=True)
+        assert got is not None
+        assert got == _expect(x)
+
+    def test_dict_mode(self):
+        rng = np.random.default_rng(13)
+        vals = np.array([17, -2, 10**12], dtype=np.int64)
+        x = vals[rng.integers(0, 3, 280_000)]
+        cfg = ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT))
+        got = _image_bytes(x, cfg, use_pallas=True)
+        assert got is not None
+        assert got == _expect(x, cfg)
