@@ -3,9 +3,10 @@
 // (ref: pco_java/src/main/rust/src/lib.rs:116-135).
 //
 // Build (requires a JDK for jni.h; see java/README.md):
-//   g++ -O2 -shared -fPIC pco_jni.cpp -I$JAVA_HOME/include \
-//       -I$JAVA_HOME/include/linux -L<dir of libcpcodec.so> -lcpcodec \
+//   g++ -O2 -shared -fPIC pco_jni.cpp -I$JAVA_HOME/include
+//       -I$JAVA_HOME/include/linux -L<dir of libcpcodec.so> -lcpcodec
 //       -o libpco_tpu_java.so
+// Compile verification without a JDK: `make syntax-check` (jni_stub/).
 
 #include <jni.h>
 

@@ -656,13 +656,27 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20):
                 head_bytes=head_bytes, nt=nt, ccs=ccs)
 
 
+_RUN_JIT_CACHE = {}
+
+
+def _run_launch_jit(schema):
+    """jit cache keyed by schema: a fresh jax.jit(partial(...)) per call
+    would retrace every encode."""
+    from pcodec_tpu.ops import pallas_encode as pe
+
+    fn = _RUN_JIT_CACHE.get(schema)
+    if fn is None:
+        if len(_RUN_JIT_CACHE) > 16:
+            _RUN_JIT_CACHE.clear()
+        fn = jax.jit(partial(pe._run_launch_device, schema))
+        _RUN_JIT_CACHE[schema] = fn
+    return fn
+
+
 def run_image(plan, use_pallas: bool = True):
     """Run EB/EC + prep + stitch. Returns (head_words, body_words,
     head_bytes, body_bytes) with both word arrays device-resident."""
-    from pcodec_tpu.ops import pallas_encode as pe
-
-    schema = plan["schema"]
-    run = jax.jit(partial(pe._run_launch_device, schema))
+    run = _run_launch_jit(plan["schema"])
     sections, fstates, ans_len, off_len, total_bits = run(*plan["dev_args"])
     prep = _prepare_image(
         plan["layout"], sections, fstates, ans_len, off_len, total_bits,

@@ -40,3 +40,12 @@ def test_c_abi_round_trip(tmp_path):
     r = subprocess.run([str(exe)], env=env, capture_output=True, text=True, timeout=240)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ALL C ABI TESTS PASSED" in r.stdout
+
+
+def test_jni_shim_compiles():
+    """The Java JNI shim must stay well-formed C++ (no JDK here: checked
+    against the vendored spec-declaration stub, java/jni_stub/jni.h)."""
+    import subprocess, os
+    d = os.path.join(os.path.dirname(__file__), "..", "pcodec_tpu", "java")
+    r = subprocess.run(["make", "syntax-check"], cwd=d, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
