@@ -143,41 +143,47 @@ def main():
 
     gbps = nums.nbytes / best / 1e9
 
-    # ---- encode: device training (ops/device_train.py) + EB/EC kernels ----
-    # Protocol: numbers device-resident (production data lives in HBM); the
-    # train timing covers device dispatches + the small decision-sample /
-    # extract fetches; the kernel timing covers dissect+pack via checksum.
-    import pcodec_tpu.ops.pallas_encode as pe
-    import pcodec_tpu.ops.device_train as dt
+    # ---- encode: the FULL device pipeline to an HBM-resident file image —
+    # train (host sample decisions + device full-array passes), EB/EC
+    # kernels, and the device stitch of the final byte-exact .pct image
+    # (ops/assemble.py). encode_wall covers everything from numbers-in-HBM
+    # (+ the host mirror the caller owns, as the reference encoder does) to
+    # the completed file image, forced by an 8-byte checksum fetch. The
+    # image is byte-compared against the host encoder's file once, untimed.
+    from pcodec_tpu.ops import assemble
 
     nums_dev = jnp.asarray(nums)
     _ = int(jnp.sum(nums_dev, dtype=jnp.int64)[None][0])  # force upload
-    planned = dt.plan_encode_device(nums_dev, None, 1024, CHUNK_N)  # compile warmup
-    t0 = time.time()
-    planned = dt.plan_encode_device(nums_dev, None, 1024, CHUNK_N)
-    train_secs = time.time() - t0
-    _, _, _, chunk_jobs, groups, dev_rows = planned
-    assert all(kind == "device" for kind, _ in chunk_jobs)
-    enc_gbps = 0.0
-    if groups:
-        results, handles = pe._build_and_run_launches(groups, dev_rows=dev_rows)
-        (schema, run, dev_args), = handles
+    cfg = (None if ANS_CAP is None else
+           __import__("pcodec_tpu").ChunkConfig(ans_size_log_cap=ANS_CAP))
 
-        def enc_run(*a):
-            sections, fstates, al, ol, tb = pe._run_launch_device(schema, *a)
-            return (jnp.sum(sections, dtype=jnp.int32)
-                    + jnp.sum(fstates, dtype=jnp.int32)).reshape(1)
+    def encode_once():
+        t0 = time.perf_counter()
+        plan = assemble.plan_image(nums_dev, cfg, 1024, CHUNK_N, nums_host=nums)
+        assert plan is not None, "headline data left the image path"
+        t1 = time.perf_counter()
+        out = assemble.run_image(plan, use_pallas=True)
+        assert out is not None, "stitch guards tripped on headline data"
+        head, body_dev, hb, bb = out
+        int(jnp.sum(body_dev.astype(jnp.uint32).astype(jnp.uint64))[None][0])
+        t2 = time.perf_counter()
+        return (t1 - t0, t2 - t1), out
 
-        ef = jax.jit(enc_run)
-        int(ef(*dev_args)[0])
-        ebest = 9e9
-        for _ in range(6):
-            t0 = time.perf_counter()
-            int(ef(*dev_args)[0])
-            ebest = min(ebest, time.perf_counter() - t0)
-        enc_gbps = nums.nbytes / ebest / 1e9
-    encode_wall = train_secs + (nums.nbytes / enc_gbps / 1e9 if enc_gbps else 0.0)
-    encode_gbps = nums.nbytes / encode_wall / 1e9 if encode_wall else 0.0
+    (tr0, dev0), out = encode_once()  # compile warmup
+    encode_bit_exact = False
+    if out is not None and CHUNK_N == 1 << 20 and ANS_CAP is None:
+        # one-time untimed byte compare: the image must equal the exact
+        # file the decode leg runs on (same data, same params)
+        img = assemble.file_image_to_bytes(*out)
+        encode_bit_exact = img == data
+        assert encode_bit_exact, "device file image differs from host encoder!"
+    train_secs = 0.0
+    encode_wall = 9e9
+    for _ in range(3):
+        (tr, dev), out = encode_once()
+        if tr + dev < encode_wall:
+            encode_wall, train_secs = tr + dev, tr
+    encode_gbps = nums.nbytes / encode_wall / 1e9
 
     print(
         json.dumps(
@@ -192,8 +198,9 @@ def main():
                     "decode_ms": round(best * 1e3, 2),
                     "compress_secs_host": round(compress_secs, 2),
                     "encode_gbps": round(encode_gbps, 3),
-                    "encode_kernels_gbps": round(enc_gbps, 3),
                     "encode_train_secs": round(train_secs, 2),
+                    "encode_device_secs": round(encode_wall - train_secs, 2),
+                    "encode_bit_exact_bytes": encode_bit_exact,
                     "bit_exact_checksum": True,
                 },
             }

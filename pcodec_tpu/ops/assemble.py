@@ -546,7 +546,8 @@ def _bucket(x, choices):
     return None
 
 
-def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20):
+def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
+               nums_host=None):
     """Train (plan_encode_device) + build the image layout. Returns None
     when this input is outside the image path's coverage (the caller falls
     back to pallas_encode.encode_container_device, byte-identical output).
@@ -566,7 +567,8 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20):
     from pcodec_tpu.ops.device_train import plan_encode_device
 
     extras = {}
-    planned = plan_encode_device(nums, config, page_n, chunk_n, extras=extras)
+    planned = plan_encode_device(nums, config, page_n, chunk_n, extras=extras,
+                                 nums_host=nums_host)
     if planned is None or "moments_dev" not in extras:
         return None
     nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
@@ -708,14 +710,14 @@ def _round_up(x, m):
 
 def encode_container_image_device(nums, config=None, page_n: int = 1024,
                                   chunk_n: int = 1 << 20,
-                                  use_pallas: bool = True):
+                                  use_pallas: bool = True, nums_host=None):
     """Full device container encode to an HBM-resident file image.
 
     Returns (head_words, body_words, head_bytes, body_bytes) or None when
     the input is outside the image path (caller falls back to
     pallas_encode.encode_container_device; output bytes are identical
     either way)."""
-    plan = plan_image(nums, config, page_n, chunk_n)
+    plan = plan_image(nums, config, page_n, chunk_n, nums_host=nums_host)
     if plan is None:
         return None
     return run_image(plan, use_pallas=use_pallas)

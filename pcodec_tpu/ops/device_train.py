@@ -52,6 +52,11 @@ _TRAIN_TRACE = bool(int(__import__("os").environ.get("PCODEC_TRAIN_TRACE", "0"))
 # ~ms — train 0.97 s vs 4.32 s. Outputs are byte-identical either way.
 _LB_HOST = bool(int(__import__("os").environ.get("PCODEC_LB_HOST", "1")))
 
+# A/B kill switch for the host-native decision fast path (mode auction +
+# delta choice from host samples when the caller holds the numbers in RAM;
+# see plan_encode_device). 0 = always use the device decision machinery.
+_HOST_DECIDE = bool(int(__import__("os").environ.get("PCODEC_HOST_DECIDE", "1")))
+
 
 def _prefetch(*arrays):
     """Start async device->host copies so later np.asarray calls hit the
@@ -1268,7 +1273,8 @@ class DeviceChunkTrain:
 
 
 def plan_encode_device(nums, config: Optional[ChunkConfig],
-                       page_n: int, chunk_n: int, extras: Optional[dict] = None):
+                       page_n: int, chunk_n: int, extras: Optional[dict] = None,
+                       nums_host: Optional[np.ndarray] = None):
     """Device-train drop-in for pallas_encode._plan_encode. Returns
     (nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows) or None when the
     configuration isn't covered (caller falls back to the host planner).
@@ -1374,6 +1380,22 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 a, m = draw_spans[ci2]
                 keep_by_chunk[ci2] = keep_all[a : a + m] if m else None
 
+    # Host-native decision fast path: when the caller holds the numbers in
+    # host RAM (CLI/file encode, or a bench that owns the array — the same
+    # setting as the reference encoder), the mode auction and delta choice
+    # run on host SAMPLES with the native hot loops. The decision path then
+    # moves zero tunnel bytes: the ~n/40 sample-index upload, the decision
+    # buffer fetch, and the ~n/50 delta-sample fetch (measured 2026-08-19:
+    # 0.40 s + 0.61 s of the 1.22 s warm train at 64M) all disappear.
+    # Decisions call the HOST PIPELINE's own functions on identically
+    # constructed samples, so outputs stay byte-identical.
+    if nums_host is None and isinstance(nums, np.ndarray):
+        nums_host = nums
+    host_decide = (
+        nums_host is not None and not is_dict and not is_float_auto
+        and _HOST_DECIDE
+    )
+
     idx_cache: Dict[int, np.ndarray] = {}
     dslice_cache: Dict[int, list] = {}
     mode_idx_parts, delta_idx_parts = [], []
@@ -1397,6 +1419,13 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 mi0 = sampling.choose_sample_indices(cn)
                 idx_cache[cn] = mi0 if mi0 is not None else np.zeros(0, dtype=np.int64)
             mi = idx_cache[cn]
+        if host_decide:
+            # spans kept for shape bookkeeping; no device gathers built
+            mode_spans.append((0, 0))
+            dsl = dslice_cache[cn]
+            delta_spans.append((0, sum(b - a for a, b in dsl)))
+            start += cn
+            continue
         mode_spans.append((sum(len(p) for p in mode_idx_parts), len(mi)))
         mode_idx_parts.append(mi + start)
         dsl = dslice_cache[cn]
@@ -1414,11 +1443,14 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # uploaded device copies across calls. Float-auto mode indices depend on
     # per-draw keep flags (data), so those upload fresh.
     ckey = (tuple(chunk_ns), page_n)
-    cached = None if is_float_auto else _IDX_UPLOAD_CACHE.get(ckey)
+    cached = (None if (is_float_auto or host_decide)
+              else _IDX_UPLOAD_CACHE.get(ckey))
     if cached is None:
         mode_idx_dev = jnp.asarray(mode_idx)
         delta_idx_dev = jnp.asarray(delta_idx)
-        if not is_float_auto:
+        if not (is_float_auto or host_decide):
+            # host_decide uploads empty index arrays — never cache those
+            # under the layout key a device-decide call would hit
             if len(_IDX_UPLOAD_CACHE) > 8:
                 _IDX_UPLOAD_CACHE.clear()
             _IDX_UPLOAD_CACHE[ckey] = (mode_idx_dev, delta_idx_dev)
@@ -1434,6 +1466,54 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     mo = c.MAX_CONSECUTIVE_DELTA_ORDER
     n_cand1 = STAGE1_ORDERS + 1
 
+    # ---- host-native decisions (see host_decide above) ----
+    host_int_bases: Dict[int, int] = {}
+    host_delta_encs: Dict[int, DeltaEncoding] = {}
+    if host_decide:
+        ms_h = config.mode_spec
+        pin_base = None
+        pin_fm = None
+        if ms_h.kind == ModeSpec.TRY_INT_MULT:
+            pin_base = int(ms_h.value)
+        elif ms_h.kind == ModeSpec.TRY_FLOAT_QUANT:
+            pin_base = 1 << int(ms_h.value)
+        elif ms_h.kind == ModeSpec.TRY_FLOAT_MULT:
+            pin_fm = (nt.np_dtype.type(ms_h.value),
+                      nt.np_dtype.type(1.0) / nt.np_dtype.type(ms_h.value))
+        start_h = 0
+        for ci, cn in enumerate(chunk_ns):
+            cnums = nums_host[start_h : start_h + cn]
+            start_h += cn
+            base_ci = pin_base
+            if is_int_auto:
+                mi_h = idx_cache[cn]
+                s_lat = nt.to_latent_ordered(cnums[mi_h]) if len(mi_h) else None
+                b_h = int_mult.choose_base_from_sample(s_lat)
+                if b_h is not None:
+                    host_int_bases[ci] = int(b_h)
+                    base_ci = int(b_h)
+            if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+                # the delta sample: contiguous groups of the chunk, mode
+                # split applied elementwise — identical to the host
+                # pipeline's choose_delta_sample(primary) construction
+                dsl = dslice_cache[cn]
+                seg = np.concatenate([cnums[a_:b_] for a_, b_ in dsl])
+                s_h = nt.to_latent_ordered(seg)
+                if base_ci is not None and base_ci > 1:
+                    prim_h = s_h // s_h.dtype.type(base_ci)
+                elif pin_fm is not None:
+                    from pcodec_tpu.modes import float_mult
+                    with np.errstate(all="ignore"):
+                        prim_h, _ = float_mult.split_latents(
+                            nt, nt.from_latent_ordered(s_h),
+                            pin_fm[0], pin_fm[1])
+                    prim_h = prim_h.astype(np.uint64)
+                else:
+                    prim_h = s_h
+                host_delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
+                    prim_h.astype(plt.np_dtype), cn, int(ubls[ci]), plt)
+        _t0 = _trace("host decisions", _t0)
+
     # ---- stage 1: ONE fused dispatch (bijection + gathers + IntMult GCD
     # screening + stage-1 delta candidates) and ONE packed fetch. Every
     # round trip through the tunnel costs ~30 ms of latency, so the plan is
@@ -1441,10 +1521,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     gcd_starts = np.array([a for a, _ in mode_spans], np.int32)
     gcd_lens = np.array([m for _, m in mode_spans], np.int32)
     gcd_m_max = int(gcd_lens.max()) if n_chunks else 0
-    int_auto_eff = is_int_auto and gcd_m_max >= 3
+    int_auto_eff = is_int_auto and gcd_m_max >= 3 and not host_decide
 
     dec_groups: Dict[int, list] = {}
-    if is_delta_auto:
+    if is_delta_auto and not host_decide:
         for ci, cn in enumerate(chunk_ns):
             if delta_spans[ci][1] >= 2:
                 dec_groups.setdefault(int(ubls[ci]), []).append(ci)
@@ -1487,7 +1567,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         config.delta_spec.kind,
         config.delta_spec.order, config.enable_8_bit,
     )
-    spec_hint = _SPEC_HINTS.get(hint_key)
+    # host_decide: real decisions are already in hand, nothing to speculate
+    spec_hint = None if host_decide else _SPEC_HINTS.get(hint_key)
 
     def _split_kw_from(cis, bases_map, fm_map):
         """Per-chunk primary-transform kwargs for _phase_delta_candidates
@@ -1542,10 +1623,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # fetch the small decision buffer FIRST (the ~n/50-latent delta sample
     # is 30x bigger and would hog the tunnel); the sample transfer then
     # overlaps the host decision math below
-    buf = np.asarray(buf_d)
+    buf = None if host_decide else np.asarray(buf_d)
     ds_box: Dict[str, np.ndarray] = {}
     ds_thread = None
-    if _LB_HOST:
+    if _LB_HOST and not host_decide:
         # host-sample lookback A/B: start the big transfer early so it
         # overlaps the host decision math below
         ds_thread = threading.Thread(
@@ -1619,7 +1700,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     _t0 = _trace("stage1 unpack", _t0)
 
     # ---- IntMult base scoring (host math from the packed screening) ----
-    int_bases: Dict[int, int] = {}
+    int_bases: Dict[int, int] = dict(host_int_bases)
     if int_auto_eff:
         int_bases = _int_bases_collect(
             (gcd_np, gcd_starts, gcd_lens, gcd_m_max), mode_s_dev, chunk_ns, lt
@@ -1692,7 +1773,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         """_split_kw_from with this plan's decided mode-split maps."""
         return _split_kw_from(cis, prim_bases, fmult_map)
 
-    if (prim_bases or fmult_map) and is_delta_auto:
+    if (prim_bases or fmult_map) and is_delta_auto and not host_decide:
         # non-Classic winners decide delta on PRIMARY latents: their
         # stage-1 candidates re-run with the mode split applied
         redis_q: Dict[int, list] = {}
@@ -1731,7 +1812,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # pipeline (which re-derives everything from the numbers).
     delta_encs: Dict[int, DeltaEncoding] = {}
     spec_chains: Dict[int, list] = {}
-    if is_delta_auto:
+    if host_decide and is_delta_auto:
+        delta_encs = host_delta_encs
+    elif is_delta_auto:
         for ci, cn in enumerate(chunk_ns):
             if not mode_is_host[ci] and delta_spans[ci][1] < 2:
                 a, m = delta_spans[ci]

@@ -86,3 +86,57 @@ class TestImagePallasInterpret:
         got = _image_bytes(x, cfg, use_pallas=True)
         assert got is not None
         assert got == _expect(x, cfg)
+
+
+class TestHostDecideAB:
+    def test_host_vs_device_decisions_identical_bytes(self):
+        """PCODEC_HOST_DECIDE=0 (device decision machinery) and the default
+        host-native sample decisions must produce identical files."""
+        from pcodec_tpu.ops import device_train as dt
+
+        rng = np.random.default_rng(21)
+        n = 260_000
+        x = np.cumsum(rng.integers(0, 300, n)).astype(np.int64)
+        a = _image_bytes(x, use_pallas=False)
+        old = dt._HOST_DECIDE
+        try:
+            dt._HOST_DECIDE = False
+            b = _image_bytes(x, use_pallas=False)
+        finally:
+            dt._HOST_DECIDE = old
+        assert a is not None and b is not None
+        assert a == b
+        assert a == _expect(x)
+
+    def test_intmult_winner_same_plan(self):
+        """An IntMult auto winner (two vars, outside the image path) must
+        get identical metas/jobs from both decision paths."""
+        from pcodec_tpu.format.bitio import BitWriter
+        from pcodec_tpu.ops import device_train as dt
+
+        rng = np.random.default_rng(22)
+        n = 260_000
+        x = (np.cumsum(rng.integers(0, 40, n)) * 1000
+             + rng.integers(0, 3, n)).astype(np.int64)
+
+        def metas():
+            planned = dt.plan_encode_device(x, None, 256, 131072)
+            assert planned is not None
+            _, _, ccs, chunk_jobs, _, _ = planned
+            out = []
+            for cc in ccs:
+                w = BitWriter()
+                cc.write_meta(w)
+                out.append(w.to_bytes())
+            return out, [k for k, _ in chunk_jobs]
+
+        a, ka = metas()
+        old = dt._HOST_DECIDE
+        try:
+            dt._HOST_DECIDE = False
+            b, kb = metas()
+        finally:
+            dt._HOST_DECIDE = old
+        assert ka == kb
+        assert a == b
+        assert any(b"\x00" != m[:1] for m in a)  # sanity: non-empty metas
