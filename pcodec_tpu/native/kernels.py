@@ -415,3 +415,41 @@ def write_bits(vals: np.ndarray, bitlens: np.ndarray, start_bit: int, dst: np.nd
         start_bit,
         _ptr(dst, ctypes.c_uint8),
     )
+
+
+_lib.pco_delta_cand_stats.restype = None
+_lib.pco_delta_cand_stats.argtypes = [
+    _u64p, _i64p, _i64p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+    _i32p, ctypes.c_int, ctypes.c_int, _i32p, ctypes.c_longlong, _i64p,
+    ctypes.c_int,
+]
+
+
+def delta_cand_stats(samples_flat, soff, sn, bits, obb, ubls,
+                     min_order, max_order, wnls=None, n_threads=8):
+    """Batched auto-delta candidate statistics (see pco_kernels.cpp).
+
+    samples_flat: u64 concatenated per-chunk primary samples; soff/sn int64
+    per chunk. max_order >= 0: consecutive orders min..max; -1: lookback
+    (delta, primary) pairs using wnls (per-chunk window_n_log).
+    Returns int64 (n_chunks, n_cands, 2 + 2*cap): [n_bins, asl, weights[cap],
+    obs[cap]] with cap = 1 << max(ubls)."""
+    n_chunks = len(sn)
+    cap = 1 << int(np.max(ubls))
+    cands = (max_order - min_order + 1) if max_order >= 0 else 2
+    stride = 2 + 2 * cap
+    out = np.zeros(n_chunks * cands * stride, np.int64)
+    samples_flat = np.ascontiguousarray(samples_flat, np.uint64)
+    soff = np.ascontiguousarray(soff, np.int64)
+    sn_a = np.ascontiguousarray(sn, np.int64)
+    ubls_a = np.ascontiguousarray(ubls, np.int32)
+    wnls_a = (np.ascontiguousarray(wnls, np.int32) if wnls is not None
+              else None)
+    _lib.pco_delta_cand_stats(
+        _ptr(samples_flat, ctypes.c_uint64), _ptr(soff, ctypes.c_int64),
+        _ptr(sn_a, ctypes.c_int64), n_chunks, bits, obb,
+        _ptr(ubls_a, ctypes.c_int32), min_order, max_order,
+        _ptr(wnls_a, ctypes.c_int32) if wnls_a is not None else None,
+        cap, _ptr(out, ctypes.c_int64), n_threads,
+    )
+    return out.reshape(n_chunks, cands, stride), cap

@@ -800,3 +800,276 @@ long long pco_qco_encode_body(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// batched auto-delta candidate statistics for the host-native encode
+// decisions (ops/device_train.py host_decide path). Per (chunk, candidate):
+// delta-encode the latent sample, sort, histogram (pco_histogram_sorted),
+// DP partitioning with the single-bin / trivial-offset shortcuts
+// (bin_optimization.py _choose_optimized_partitioning) and ANS weight
+// quantization (format/ans.py quantize_weights_to / quantize_weights) —
+// bit/float-exact ports, so the small Python float layer on top reproduces
+// the host pipeline's delta decisions exactly.
+// ref: pco/src/chunk_compressor.rs:291-395, ans/encoding.rs:95-175.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <cmath>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace pco_cand {
+
+static inline int bit_length_ll(long long x) {
+  return x <= 0 ? 0 : 64 - __builtin_clzll((unsigned long long)x);
+}
+
+static inline float round_half_away_f32(float x) {
+  float t = std::trunc(x);
+  float frac = x - t;
+  if (std::fabs(frac) >= 0.5f) t += (x > 0.f ? 1.f : (x < 0.f ? -1.f : 0.f));
+  return t;
+}
+
+// format/ans.py quantize_weights_to + quantize_weights; returns size_log
+static int quantize_weights(const int64_t* counts, long long n_bins,
+                            long long total_count, int max_size_log,
+                            int64_t* weights_out) {
+  if (n_bins == 1) {
+    weights_out[0] = 1;
+    return 0;
+  }
+  int min_size_log = bit_length_ll(n_bins - 1);
+  int size_log = min_size_log > max_size_log ? min_size_log : max_size_log;
+  long long required = 1ll << size_log;
+  float multiplier = (float)required / (float)total_count;
+  std::vector<float> ds(n_bins), fw(n_bins);
+  float acc = 0.f;
+  for (long long k = 0; k < n_bins; k++) {
+    float d = (float)counts[k] * multiplier - 1.0f;
+    if (d < 0.f) d = 0.f;
+    ds[k] = d;
+    acc = acc + d;
+  }
+  float required_surplus = (float)(required - n_bins);
+  float surplus_mult = (acc == 0.f) ? 0.f : (required_surplus / acc);
+  long long weight_sum = 0;
+  for (long long k = 0; k < n_bins; k++) {
+    float w = 1.0f + ds[k] * surplus_mult;
+    fw[k] = w;
+    weights_out[k] = (int64_t)round_half_away_f32(w);
+    weight_sum += weights_out[k];
+  }
+  for (long long i = 0; weight_sum > required; i++) {
+    if (weights_out[i] > 1 && (float)weights_out[i] > fw[i]) {
+      weights_out[i] -= 1;
+      weight_sum -= 1;
+    }
+  }
+  for (long long i = 0; weight_sum < required; i++) {
+    if ((float)weights_out[i] < fw[i]) {
+      weights_out[i] += 1;
+      weight_sum += 1;
+    }
+  }
+  int pow2 = 64;
+  for (long long k = 0; k < n_bins; k++) {
+    int tz = __builtin_ctzll((unsigned long long)weights_out[k]);
+    if (tz < pow2) pow2 = tz;
+  }
+  size_log -= pow2;
+  for (long long k = 0; k < n_bins; k++) weights_out[k] >>= pow2;
+  return size_log;
+}
+
+// bin_optimization.py _choose_optimized_partitioning (exact f32 math,
+// including the single-bin and trivial-offset shortcuts); writes (j, i)
+// pairs and returns the partition count.
+static long long partition_bins(const uint64_t* counts, const uint64_t* lowers,
+                                const uint64_t* uppers, long long n,
+                                int ans_size_log, int lt_bits, int lt_obb,
+                                long long* js, long long* is_) {
+  std::vector<uint32_t> c_counts(n + 1);
+  c_counts[0] = 0;
+  for (long long k = 0; k < n; k++)
+    c_counts[k + 1] = c_counts[k] + (uint32_t)counts[k];
+  long long total_count = (long long)c_counts[n];
+  float total_count_log2 = pco_log2_approx_f32((float)total_count);
+  float bin_meta_cost = (float)(ans_size_log + lt_bits + lt_obb);
+
+  std::vector<int64_t> best_js(n);
+  float best_cost = 0.f;
+  pco_optimize_bins_dp(c_counts.data(), lowers, uppers, n, bin_meta_cost,
+                       total_count_log2, best_js.data(), &best_cost);
+
+  // single-bin shortcut (_bin_cost_scalar)
+  {
+    float ans_cost = total_count_log2 - pco_log2_approx_f32((float)total_count);
+    uint64_t diff = uppers[n - 1] - lowers[0];
+    float offset_cost = (float)(diff ? 64 - __builtin_clzll(diff) : 0);
+    float single = bin_meta_cost + (ans_cost + offset_cost) * (float)total_count;
+    if (single < best_cost + 0.1f * (float)total_count) {
+      js[0] = 0;
+      is_[0] = n - 1;
+      return 1;
+    }
+  }
+  // trivial-offset shortcut (all lowers == uppers)
+  bool all_triv = true;
+  for (long long k = 0; k < n; k++)
+    if (lowers[k] != uppers[k]) { all_triv = false; break; }
+  if (all_triv) {
+    float acc = 0.f;
+    for (long long k = 0; k < n; k++) {
+      float cnt = (float)counts[k];
+      float cs = bin_meta_cost +
+                 (total_count_log2 - pco_log2_approx_f32(cnt)) * cnt;
+      acc = acc + cs;
+    }
+    if (acc < best_cost + 0.1f * (float)total_count) {
+      for (long long k = 0; k < n; k++) { js[k] = k; is_[k] = k; }
+      return n;
+    }
+  }
+  // rewind
+  long long cnt_out = 0;
+  long long i = n - 1;
+  std::vector<std::pair<long long, long long>> rev;
+  while (true) {
+    long long j = best_js[i];
+    rev.push_back({j, i});
+    if (j > 0) i = j - 1; else break;
+  }
+  for (long long k = (long long)rev.size() - 1; k >= 0; k--) {
+    js[cnt_out] = rev[k].first;
+    is_[cnt_out] = rev[k].second;
+    cnt_out++;
+  }
+  return cnt_out;
+}
+
+// stats of one latent var: sort -> histogram -> partition -> quantize.
+// out slot layout: [n_bins, asl, weights[cap], obs[cap]]
+static void var_stats(uint64_t* stored, long long n_stored, int ubl,
+                      int var_bits, int var_obb, long long cap, int64_t* out) {
+  out[0] = 0;
+  out[1] = 0;
+  if (n_stored == 0) return;
+  std::sort(stored, stored + n_stored);
+  std::vector<uint64_t> hc(1ll << ubl), hl(1ll << ubl), hu(1ll << ubl);
+  long long nb = pco_histogram_sorted(stored, n_stored, ubl, hc.data(),
+                                      hl.data(), hu.data());
+  if (nb == 0) return;
+  int n_log_ceil = n_stored <= 1 ? 0 : bit_length_ll(n_stored - 1);
+  int estimated = ubl + 2;
+  if (estimated > 12) estimated = 12;  // MAX_COMPRESSION_LEVEL
+  if (estimated > n_log_ceil) estimated = n_log_ceil;
+  std::vector<long long> js(nb), is_(nb);
+  long long np_ = partition_bins(hc.data(), hl.data(), hu.data(), nb,
+                                 estimated, var_bits, var_obb, js.data(),
+                                 is_.data());
+  if (np_ > cap) np_ = 0;  // caller sized cap = 1<<ubl; never hit
+  std::vector<uint32_t> cc(nb + 1);
+  cc[0] = 0;
+  for (long long k = 0; k < nb; k++) cc[k + 1] = cc[k] + (uint32_t)hc[k];
+  std::vector<int64_t> w(np_);
+  for (long long k = 0; k < np_; k++) {
+    w[k] = (int64_t)(cc[is_[k] + 1] - cc[js[k]]);
+    uint64_t diff = hu[is_[k]] - hl[js[k]];
+    out[2 + cap + k] = diff ? 64 - __builtin_clzll(diff) : 0;
+  }
+  int asl = quantize_weights(w.data(), np_, n_stored, estimated, &out[2]);
+  out[0] = np_;
+  out[1] = asl;
+}
+
+struct Job {
+  const uint64_t* sample;
+  long long n;
+  int ubl;
+  int bits;       // primary latent bits
+  int obb;        // primary latent offset_bits_bits
+  int wnl;        // lookback window_n_log (call with orders: unused)
+  int max_order;  // >=0: orders 0..max_order; -1: lookback pair
+  int min_order;
+  long long cap;
+  int64_t* out;   // cand-major slots
+};
+
+static void run_job(const Job& j) {
+  uint64_t mask = j.bits >= 64 ? ~0ull : ((1ull << j.bits) - 1ull);
+  uint64_t mid = 1ull << (j.bits - 1);
+  long long stride = 2 + 2 * j.cap;
+  std::vector<uint64_t> buf(j.n);
+  if (j.max_order >= 0) {
+    // consecutive orders min_order..max_order (0 = noop); each order
+    // delta-encodes fresh from the sample (delta/__init__.py
+    // consecutive_encode: backward in-place diffs + toggle past the front)
+    for (int order = j.min_order; order <= j.max_order; order++) {
+      for (long long k = 0; k < j.n; k++) buf[k] = j.sample[k] & mask;
+      for (int o = 0; o < order; o++)
+        for (long long k = j.n - 1; k > o; k--)
+          buf[k] = (buf[k] - buf[k - 1]) & mask;
+      long long front = order < j.n ? order : j.n;
+      for (long long k = front; k < j.n; k++)
+        buf[k] = (buf[k] + mid) & mask;
+      long long n_stored = j.n - order > 0 ? j.n - order : 0;
+      var_stats(buf.data() + front, n_stored, j.ubl, j.bits, j.obb, j.cap,
+                j.out + (long long)(order - j.min_order) * stride);
+    }
+  } else {
+    // lookback pair: slot 0 = delta var (the u32 lookbacks), slot 1 =
+    // primary var (lookback deltas past the 1-latent state front)
+    const int state_n = 1;  // new_lookback => state_n_log 0
+    long long n_lb = j.n - state_n > 0 ? j.n - state_n : 0;
+    std::vector<uint32_t> lbs(n_lb);
+    for (long long k = 0; k < j.n; k++) buf[k] = j.sample[k] & mask;
+    if (n_lb > 0)
+      pco_choose_lookbacks(buf.data(), j.n, j.bits, state_n, j.wnl,
+                           lbs.data());
+    std::vector<uint64_t> lbs64(n_lb);
+    for (long long k = 0; k < n_lb; k++) lbs64[k] = lbs[k];
+    var_stats(lbs64.data(), n_lb, j.ubl, 32, 6, j.cap, j.out);
+    std::vector<uint64_t> del(j.n);
+    for (long long k = j.n - 1; k >= state_n; k--)
+      del[k] = (buf[k] - buf[k - lbs[k - state_n]]) & mask;
+    for (long long k = state_n; k < j.n; k++)
+      del[k] = (del[k] + mid) & mask;
+    var_stats(del.data() + state_n, n_lb, j.ubl, j.bits, j.obb, j.cap,
+              j.out + stride);
+  }
+}
+
+}  // namespace pco_cand
+
+extern "C" void pco_delta_cand_stats(
+    const uint64_t* samples, const long long* soff, const long long* sn,
+    long long n_chunks, int bits, int obb, const int32_t* ubls,
+    int min_order, int max_order,  // or max_order = -1 for lookback pairs
+    const int32_t* wnls, long long cap, int64_t* out, int n_threads) {
+  using pco_cand::Job;
+  long long cands = max_order >= 0 ? (max_order - min_order + 1) : 2;
+  long long stride = 2 + 2 * cap;
+  std::vector<Job> jobs(n_chunks);
+  for (long long ci = 0; ci < n_chunks; ci++) {
+    jobs[ci] = Job{samples + soff[ci], sn[ci], (int)ubls[ci], bits, obb,
+                   wnls ? (int)wnls[ci] : 0, max_order, min_order, cap,
+                   out + ci * cands * stride};
+  }
+  if (n_threads <= 1 || n_chunks <= 1) {
+    for (auto& j : jobs) pco_cand::run_job(j);
+    return;
+  }
+  std::vector<std::thread> ts;
+  std::atomic<long long> next(0);
+  for (int t = 0; t < n_threads; t++)
+    ts.emplace_back([&]() {
+      while (true) {
+        long long ci = next.fetch_add(1);
+        if (ci >= n_chunks) break;
+        pco_cand::run_job(jobs[ci]);
+      }
+    });
+  for (auto& th : ts) th.join();
+}

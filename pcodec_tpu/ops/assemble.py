@@ -125,6 +125,22 @@ class ImageLayout:
             start += npg + ((-npg) % 256)
         return np.asarray(out, np.int32)
 
+    def chain_ranges(self):
+        """Static (start, n) chain ranges per chunk — row selection by
+        contiguous slices: an XLA row GATHER of the (chains, SEC) sections
+        lowers to a per-element gather (~35 M/s, seconds at 64M), while
+        static slices are pure dense copies."""
+        out = []
+        start = 0
+        for npg in self.n_pages:
+            out.append((start, npg))
+            start += npg + ((-npg) % 256)
+        return tuple(out)
+
+    def mrow_ranges(self):
+        return tuple((ci * self.rows_per_chunk, npg)
+                     for ci, npg in enumerate(self.n_pages))
+
     def mrow_of_page(self):
         out = []
         for ci, npg in enumerate(self.n_pages):
@@ -218,16 +234,26 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     and guard scalars [body_bytes, body_words, nsb, maxA, maxB, maxC,
     runA, runB, runC]."""
     R = layout.total_pages
-    chain_idx = jnp.asarray(layout.chain_of_page())
-    mrow_idx = jnp.asarray(layout.mrow_of_page())
+    cranges = layout.chain_ranges()
+    identity = all(s == sum(n for _, n in cranges[:i])
+                   for i, (s, _) in enumerate(cranges))
+
+    def take_chains(x):
+        # contiguous static slices per chunk, NOT a row gather (see
+        # chain_ranges); identity layouts skip even the concat
+        if identity:
+            return x[:R]
+        parts = [x[s:s + n] for s, n in cranges]
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     cofp = jnp.asarray(layout.chunk_of_page())
 
     T = sections.shape[0]
     SEC = layout.sec_words
-    sec2d = sections.reshape(T * 256, SEC)[chain_idx]               # (R, SEC)
+    sec2d = take_chains(sections.reshape(T * 256, SEC))             # (R, SEC)
     st4 = fstates.reshape(T, 8, 32, 4).transpose(0, 2, 1, 3)
-    st4 = st4.reshape(T * 256, 4)[chain_idx]                        # (R, 4)
-    tb = total_bits[chain_idx].astype(jnp.int64)
+    st4 = take_chains(st4.reshape(T * 256, 4))                      # (R, 4)
+    tb = take_chains(total_bits).astype(jnp.int64)
 
     meta_bytes_row = jnp.asarray(np.asarray(layout.meta_bytes, np.int64))[cofp]
     pfx_np = np.zeros(R, np.int64)
@@ -246,7 +272,12 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     ts_row = jnp.asarray(np.asarray(layout.ts, np.int64))[cofp]
     idxs = (st4.astype(jnp.int64) - ts_row[:, None]).astype(jnp.uint64)
     mo = layout.max_order
-    mom = moments[mrow_idx, :] if mo else jnp.zeros((R, 0), jnp.uint64)
+    if mo:
+        mparts = [moments[s:s + n] for s, n in layout.mrow_ranges()]
+        mom = (jnp.concatenate(mparts, axis=0) if len(mparts) > 1
+               else mparts[0])
+    else:
+        mom = jnp.zeros((R, 0), jnp.uint64)
     mw = max(1, -(-max(o * layout.bits + 4 * sl + 24
                        for o, sl in zip(layout.orders, layout.sls)) // 32))
     groups = {}
@@ -286,8 +317,8 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     # [all pages' ans u16 entries] ++ [all pages' off u16 entries] ----
     page_bytes = (meta_bytes_row + sec_bytes).astype(jnp.uint32)
     ep_np, eb_np = layout.dir_entry_pages()
-    ans_e = ans_len[chain_idx][jnp.asarray(ep_np), jnp.asarray(eb_np)]
-    off_e = off_len[chain_idx][jnp.asarray(ep_np), jnp.asarray(eb_np)]
+    ans_e = take_chains(ans_len)[jnp.asarray(ep_np), jnp.asarray(eb_np)]
+    off_e = take_chains(off_len)[jnp.asarray(ep_np), jnp.asarray(eb_np)]
     vals16 = jnp.concatenate([ans_e, off_e]).astype(jnp.uint32)
     ansoff = vals16[0::2] | (vals16[1::2] << 16)
     head_words = jnp.concatenate([head_host_words, page_bytes, ansoff])
@@ -652,10 +683,22 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
         pfx_np[ci, :len(p)] = np.frombuffer(p, np.uint8)
     pfx_words = jnp.asarray(pfx_np.view(np.uint32))
 
+    # expected body size from the trained bins' average bits (ANS output
+    # tracks it closely); +5% and slack make the optimistic stitch's
+    # superblock count almost always sufficient — the guard check in
+    # run_image redoes the stitch with the actual count when not
+    body_est = sum(layout.pfx_bytes) + 64
+    for ci2, cc in enumerate(ccs):
+        npg = layout.n_pages[ci2]
+        avg = float(cc.lvcs.primary.avg_bits_per_latent)
+        body_est += npg * layout.meta_bytes[ci2]
+        body_est += int(chunk_ns[ci2] * avg * 1.05 / 8) + 8 * npg
+    nsb_ub = int(-(-(-(-body_est // 4)) // SB_WORDS)) + 2
+
     return dict(layout=layout, schema=schema, dev_args=dev_args,
                 moments_dev=extras["moments_dev"],
                 head_host_words=head_host_words, pfx_words=pfx_words,
-                head_bytes=head_bytes, nt=nt, ccs=ccs)
+                head_bytes=head_bytes, nt=nt, ccs=ccs, nsb_ub=nsb_ub)
 
 
 _RUN_JIT_CACHE = {}
@@ -675,23 +718,39 @@ def _run_launch_jit(schema):
     return fn
 
 
+_DEFAULT_CAPS = (32, 32, 8)
+
+
 def run_image(plan, use_pallas: bool = True):
     """Run EB/EC + prep + stitch. Returns (head_words, body_words,
-    head_bytes, body_bytes) with both word arrays device-resident."""
+    head_bytes, body_bytes) with both word arrays device-resident.
+
+    The stitch is dispatched OPTIMISTICALLY with default row caps and the
+    layout's worst-case superblock count, so it queues right behind prep on
+    the device; the guard scalars transfer while it runs and only trigger a
+    (rare) redo when the data's row clustering exceeds the defaults."""
     run = _run_launch_jit(plan["schema"])
     sections, fstates, ans_len, off_len, total_bits = run(*plan["dev_args"])
     prep = _prepare_image(
         plan["layout"], sections, fstates, ans_len, off_len, total_bits,
         plan["moments_dev"], plan["head_host_words"], plan["pfx_words"])
+    try:
+        prep["guards"].copy_to_host_async()
+    except Exception:
+        pass
+
+    body = None
+    if use_pallas:
+        body = stitch_pallas(prep, plan["nsb_ub"], _DEFAULT_CAPS)
+
     guards = np.asarray(prep["guards"])
     body_bytes = int(guards[0])
     nsb = int(guards[2])
-    caps = []
-    for g in guards[3:6]:
-        b = _bucket(int(g), (8, 16, 32, 64))
-        caps.append(b)
+    caps = tuple(_bucket(int(g), (8, 16, 32, 64)) for g in guards[3:6])
     if use_pallas and all(c_ is not None for c_ in caps):
-        body = stitch_pallas(prep, nsb, tuple(caps))
+        if (nsb > plan["nsb_ub"]
+                or any(int(g) > d for g, d in zip(guards[3:6], _DEFAULT_CAPS))):
+            body = stitch_pallas(prep, nsb, caps)  # optimistic guess too small
     else:
         K = _bucket(int(max(guards[6:9])) + 1, (4, 8, 16))
         if K is None:

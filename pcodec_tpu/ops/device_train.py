@@ -52,10 +52,14 @@ _TRAIN_TRACE = bool(int(__import__("os").environ.get("PCODEC_TRAIN_TRACE", "0"))
 # ~ms — train 0.97 s vs 4.32 s. Outputs are byte-identical either way.
 _LB_HOST = bool(int(__import__("os").environ.get("PCODEC_LB_HOST", "1")))
 
-# A/B kill switch for the host-native decision fast path (mode auction +
-# delta choice from host samples when the caller holds the numbers in RAM;
-# see plan_encode_device). 0 = always use the device decision machinery.
-_HOST_DECIDE = bool(int(__import__("os").environ.get("PCODEC_HOST_DECIDE", "1")))
+# Decision-path selector. This host VM has ONE core (measured: thread
+# pools give zero speedup), so the device decision machinery — full-array
+# candidate walks on device, host does only the small bin DP per candidate
+# — beats running the whole decision pipeline on host samples. Default 0 =
+# device decisions, with the lookback candidate and the delta samples
+# sourced from nums_host when the caller owns the array (no tunnel fetch).
+# 1 = full host-native decisions (useful on many-core hosts).
+_HOST_DECIDE = bool(int(__import__("os").environ.get("PCODEC_HOST_DECIDE", "0")))
 
 
 def _prefetch(*arrays):
@@ -1272,6 +1276,108 @@ class DeviceChunkTrain:
     n_pages: int
 
 
+def _cost_from_native_stats(per_var, delta_encoding, number_lt, cap):
+    """sample_cost_from_unopt's cost layer over native candidate stats
+    (pco_delta_cand_stats slots). per_var: [(key, slot_1d, n_stored)]. The
+    float ops, dtypes and summation path are identical to
+    codec/compress.py sample_cost_from_unopt, so decisions match the host
+    pipeline exactly."""
+    from pcodec_tpu.format.metadata import MAX_DELTA_ENCODING_BIT_SIZE
+
+    meta_bits = c.BITS_TO_ENCODE_MODE_VARIANT + MAX_DELTA_ENCODING_BIT_SIZE
+    page_meta_bits = 0
+    body_bits = 0
+    for key, slot, n_stored in per_var:
+        var_lt = U32 if key == "delta" else number_lt
+        n_bins = int(slot[0])
+        asl = int(slot[1])
+        if n_stored == 0 or n_bins == 0:
+            n_bins, asl, avg = 0, 0, 0.0
+        else:
+            w = slot[2 : 2 + n_bins]
+            ob = slot[2 + cap : 2 + cap + n_bins]
+            warr = w.astype(np.float64)
+            ans_bits = asl - np.log2(warr)
+            avg = float(np.sum(
+                (ans_bits + ob.astype(np.uint32)) * warr / float(1 << asl)
+            ))
+        meta_bits += (
+            c.BITS_TO_ENCODE_ANS_SIZE_LOG
+            + c.BITS_TO_ENCODE_N_BINS
+            + n_bins * (asl + var_lt.bits + var_lt.offset_bits_bits)
+        )
+        de_v = delta_encoding.for_latent_var(key)
+        page_meta_bits += (asl * c.ANS_INTERLEAVING
+                           + var_lt.bits * de_v.n_latents_per_state())
+        body_bits += int(np.ceil(n_stored * avg * 1.0))
+    return float(
+        (meta_bits + 7) // 8 + (page_meta_bits + 7) // 8 + (body_bits + 7) // 8
+    )
+
+
+_STAGE1_NATIVE_ORDERS = 3  # orders 0..3 eagerly; 4..7 fetched when unbroken
+
+
+def _native_auto_delta_batch(samples, chunk_ns, ubls, plt, _nk):
+    """choose_auto_delta_encoding_from_sample for every chunk at once: the
+    expensive per-candidate stats (delta encode, sort, histogram, DP
+    partitioning, ANS quantization) run in one multithreaded native call;
+    this layer reproduces the decision sequence (noop -> lookback when the
+    noop cost clears the penalty -> ascending orders with the convex
+    break) with the same float math."""
+    n_chunks = len(samples)
+    sn = np.asarray([len(s) for s in samples], np.int64)
+    soff = np.concatenate([[0], np.cumsum(sn)[:-1]]).astype(np.int64)
+    flat = np.concatenate([s.astype(np.uint64) for s in samples])
+    ubls_a = np.asarray(ubls, np.int32)
+    obb = plt.offset_bits_bits
+    mo = c.MAX_CONSECUTIVE_DELTA_ORDER
+
+    stats, cap = _nk.delta_cand_stats(
+        flat, soff, sn, plt.bits, obb, ubls_a, 0, _STAGE1_NATIVE_ORDERS)
+    wnls = np.asarray(
+        [cmp.new_lookback(int(m)).window_n_log for m in sn], np.int32)
+    lb_stats, _ = _nk.delta_cand_stats(
+        flat, soff, sn, plt.bits, obb, ubls_a, -1, -1, wnls=wnls)
+    hi_stats = None
+
+    out = {}
+    for ci in range(n_chunks):
+        n_s = int(sn[ci])
+        best = DeltaEncoding.noop()
+        best_cost = _cost_from_native_stats(
+            [("primary", stats[ci, 0], n_s)], best, plt, cap)
+        pen = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * n_s
+        if best_cost > pen:
+            lb_s = cmp.new_lookback(n_s)
+            n_lb = max(n_s - lb_s.state_n, 0)
+            lb_cost = _cost_from_native_stats(
+                [("delta", lb_stats[ci, 0], n_lb),
+                 ("primary", lb_stats[ci, 1], n_lb)], lb_s, plt, cap) + pen
+            if lb_cost < best_cost:
+                best = cmp.new_lookback(int(chunk_ns[ci]))
+                best_cost = lb_cost
+        for order in range(1, mo + 1):
+            if order <= _STAGE1_NATIVE_ORDERS:
+                slot = stats[ci, order]
+            else:
+                if hi_stats is None:
+                    hi_stats, _ = _nk.delta_cand_stats(
+                        flat, soff, sn, plt.bits, obb, ubls_a,
+                        _STAGE1_NATIVE_ORDERS + 1, mo)
+                slot = hi_stats[ci, order - _STAGE1_NATIVE_ORDERS - 1]
+            enc = DeltaEncoding.consecutive(order)
+            cost = _cost_from_native_stats(
+                [("primary", slot, max(n_s - order, 0))], enc, plt, cap)
+            if cost < best_cost:
+                best = enc
+                best_cost = cost
+            else:
+                break
+        out[ci] = best
+    return out
+
+
 def plan_encode_device(nums, config: Optional[ChunkConfig],
                        page_n: int, chunk_n: int, extras: Optional[dict] = None,
                        nums_host: Optional[np.ndarray] = None):
@@ -1466,53 +1572,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     mo = c.MAX_CONSECUTIVE_DELTA_ORDER
     n_cand1 = STAGE1_ORDERS + 1
 
-    # ---- host-native decisions (see host_decide above) ----
-    host_int_bases: Dict[int, int] = {}
-    host_delta_encs: Dict[int, DeltaEncoding] = {}
-    if host_decide:
-        ms_h = config.mode_spec
-        pin_base = None
-        pin_fm = None
-        if ms_h.kind == ModeSpec.TRY_INT_MULT:
-            pin_base = int(ms_h.value)
-        elif ms_h.kind == ModeSpec.TRY_FLOAT_QUANT:
-            pin_base = 1 << int(ms_h.value)
-        elif ms_h.kind == ModeSpec.TRY_FLOAT_MULT:
-            pin_fm = (nt.np_dtype.type(ms_h.value),
-                      nt.np_dtype.type(1.0) / nt.np_dtype.type(ms_h.value))
-        start_h = 0
-        for ci, cn in enumerate(chunk_ns):
-            cnums = nums_host[start_h : start_h + cn]
-            start_h += cn
-            base_ci = pin_base
-            if is_int_auto:
-                mi_h = idx_cache[cn]
-                s_lat = nt.to_latent_ordered(cnums[mi_h]) if len(mi_h) else None
-                b_h = int_mult.choose_base_from_sample(s_lat)
-                if b_h is not None:
-                    host_int_bases[ci] = int(b_h)
-                    base_ci = int(b_h)
-            if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
-                # the delta sample: contiguous groups of the chunk, mode
-                # split applied elementwise — identical to the host
-                # pipeline's choose_delta_sample(primary) construction
-                dsl = dslice_cache[cn]
-                seg = np.concatenate([cnums[a_:b_] for a_, b_ in dsl])
-                s_h = nt.to_latent_ordered(seg)
-                if base_ci is not None and base_ci > 1:
-                    prim_h = s_h // s_h.dtype.type(base_ci)
-                elif pin_fm is not None:
-                    from pcodec_tpu.modes import float_mult
-                    with np.errstate(all="ignore"):
-                        prim_h, _ = float_mult.split_latents(
-                            nt, nt.from_latent_ordered(s_h),
-                            pin_fm[0], pin_fm[1])
-                    prim_h = prim_h.astype(np.uint64)
-                else:
-                    prim_h = s_h
-                host_delta_encs[ci] = cmp.choose_auto_delta_encoding_from_sample(
-                    prim_h.astype(plt.np_dtype), cn, int(ubls[ci]), plt)
-        _t0 = _trace("host decisions", _t0)
 
     # ---- stage 1: ONE fused dispatch (bijection + gathers + IntMult GCD
     # screening + stage-1 delta candidates) and ONE packed fetch. Every
@@ -1550,6 +1609,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         fetch_mode_s=is_float_auto,
     )
     _t0 = _trace("stage1 dispatch", _t0)
+
+
     import threading
 
     # speculative phase 2: dispatch B/C from the previous same-shaped
@@ -1567,8 +1628,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         config.delta_spec.kind,
         config.delta_spec.order, config.enable_8_bit,
     )
-    # host_decide: real decisions are already in hand, nothing to speculate
-    spec_hint = None if host_decide else _SPEC_HINTS.get(hint_key)
+    # speculation works for host_decide too: phase 2 dispatches from the
+    # previous plan's decisions and overlaps the HOST decision math; the
+    # real decisions below validate it before any result is consumed
+    spec_hint = _SPEC_HINTS.get(hint_key)
 
     def _split_kw_from(cis, bases_map, fm_map):
         """Per-chunk primary-transform kwargs for _phase_delta_candidates
@@ -1620,19 +1683,144 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             spec_hint["flips"], spec_hint["fmult"],
         )
 
-    # fetch the small decision buffer FIRST (the ~n/50-latent delta sample
-    # is 30x bigger and would hog the tunnel); the sample transfer then
-    # overlaps the host decision math below
-    buf = None if host_decide else np.asarray(buf_d)
+    # ---- host-native decisions (see host_decide above); they overlap
+    # the stage-1 bijection and the speculative phase-2 dispatch above ----
+    host_int_bases: Dict[int, int] = {}
+    host_delta_encs: Dict[int, DeltaEncoding] = {}
+    if host_decide:
+        ms_h = config.mode_spec
+        pin_base = None
+        pin_fm = None
+        if ms_h.kind == ModeSpec.TRY_INT_MULT:
+            pin_base = int(ms_h.value)
+        elif ms_h.kind == ModeSpec.TRY_FLOAT_QUANT:
+            pin_base = 1 << int(ms_h.value)
+        elif ms_h.kind == ModeSpec.TRY_FLOAT_MULT:
+            pin_fm = (nt.np_dtype.type(ms_h.value),
+                      nt.np_dtype.type(1.0) / nt.np_dtype.type(ms_h.value))
+        starts_h = np.concatenate([[0], np.cumsum(chunk_ns)[:-1]])
+
+        def _chunk_sample(ci):
+            """(base or None, primary-transformed u64 delta sample)."""
+            cn = chunk_ns[ci]
+            cnums = nums_host[starts_h[ci] : starts_h[ci] + cn]
+            base_ci = pin_base
+            b_out = None
+            if is_int_auto:
+                mi_h = idx_cache[cn]
+                s_lat = nt.to_latent_ordered(cnums[mi_h]) if len(mi_h) else None
+                b_h = int_mult.choose_base_from_sample(s_lat)
+                if b_h is not None:
+                    b_out = int(b_h)
+                    base_ci = int(b_h)
+            prim_h = None
+            if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+                # the delta sample: contiguous groups of the chunk, mode
+                # split applied elementwise — identical to the host
+                # pipeline's choose_delta_sample(primary) construction
+                dsl = dslice_cache[cn]
+                seg = np.concatenate([cnums[a_:b_] for a_, b_ in dsl])
+                s_h = nt.to_latent_ordered(seg)
+                if base_ci is not None and base_ci > 1:
+                    prim_h = s_h // s_h.dtype.type(base_ci)
+                elif pin_fm is not None:
+                    from pcodec_tpu.modes import float_mult
+                    with np.errstate(all="ignore"):
+                        prim_h, _ = float_mult.split_latents(
+                            nt, nt.from_latent_ordered(s_h),
+                            pin_fm[0], pin_fm[1])
+                    prim_h = prim_h.astype(np.uint64)
+                else:
+                    prim_h = s_h
+                prim_h = prim_h.astype(plt.np_dtype)
+            return b_out, prim_h
+
+        if n_chunks > 3:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                gathered = list(pool.map(_chunk_sample, range(n_chunks)))
+        else:
+            gathered = [_chunk_sample(ci) for ci in range(n_chunks)]
+        for ci, (b_out, _) in enumerate(gathered):
+            if b_out is not None:
+                host_int_bases[ci] = b_out
+
+        try:
+            from pcodec_tpu.native import kernels as _nk
+            _nk.delta_cand_stats
+        except Exception:
+            _nk = None
+        if config.delta_spec.kind == cmp.DeltaSpec.AUTO:
+            if _nk is None:
+                for ci, (_, prim_h) in enumerate(gathered):
+                    host_delta_encs[ci] = (
+                        cmp.choose_auto_delta_encoding_from_sample(
+                            prim_h, chunk_ns[ci], int(ubls[ci]), plt))
+            else:
+                host_delta_encs = _native_auto_delta_batch(
+                    [p for _, p in gathered], chunk_ns, ubls, plt, _nk)
+        _t0 = _trace("host decisions", _t0)
+
+
+    try:
+        from pcodec_tpu.native import kernels as _nk
+        _nk.delta_cand_stats
+    except Exception:
+        _nk = None
+
     ds_box: Dict[str, np.ndarray] = {}
     ds_thread = None
+    lb_box: Dict[str, object] = {}
+
+    def _build_ds_from_host():
+        # the delta samples are contiguous slices of the (bijected) numbers;
+        # building them from the caller's host array skips the ~n/50-latent
+        # tunnel fetch entirely
+        parts = []
+        start0 = 0
+        for cn0 in chunk_ns:
+            for a_, b_ in dslice_cache[cn0]:
+                parts.append(nums_host[start0 + a_ : start0 + b_])
+            start0 += cn0
+        ds_box["v"] = nt.to_latent_ordered(
+            np.concatenate(parts)).astype(np.uint64)
+
+    host_ds_ok = nums_host is not None and not is_dict
     if _LB_HOST and not host_decide:
-        # host-sample lookback A/B: start the big transfer early so it
-        # overlaps the host decision math below
-        ds_thread = threading.Thread(
-            target=lambda: ds_box.__setitem__("v", np.asarray(delta_s_dev))
-        )
+        if host_ds_ok:
+            def _ds_and_spec_lb():
+                _build_ds_from_host()
+                if _nk is not None and is_delta_auto:
+                    # speculative identity-transform lookback stats for all
+                    # chunks: this CPU work overlaps the buf transfer (IO);
+                    # split-mode chunks recompute with their base later
+                    ds0 = ds_box["v"]
+                    sn_l = np.asarray(
+                        [delta_spans[ci][1] for ci in range(n_chunks)],
+                        np.int64)
+                    soff_l = np.asarray(
+                        [delta_spans[ci][0] for ci in range(n_chunks)],
+                        np.int64)
+                    wnls_l = np.asarray(
+                        [cmp.new_lookback(int(m)).window_n_log for m in sn_l],
+                        np.int32)
+                    lb_box["stats"] = _nk.delta_cand_stats(
+                        ds0, soff_l, sn_l, plt.bits, plt.offset_bits_bits,
+                        np.asarray(ubls, np.int32), -1, -1, wnls=wnls_l,
+                        n_threads=1)
+            ds_thread = threading.Thread(target=_ds_and_spec_lb)
+        else:
+            # host-sample lookback A/B fallback: fetch the device sample
+            ds_thread = threading.Thread(
+                target=lambda: ds_box.__setitem__(
+                    "v", np.asarray(delta_s_dev))
+            )
         ds_thread.start()
+
+    # fetch the small decision buffer (packed candidate bins); the sample
+    # build / speculative lookback stats above run while it transfers
+    buf = None if host_decide else np.asarray(buf_d)
     _t0 = _trace("stage1 fetch", _t0)
 
     def _delta_samples() -> np.ndarray:
@@ -1640,7 +1828,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             ds_thread.join()
         elif "v" not in ds_box:
             # rare: only degenerate (<2-sample) chunks need host samples
-            ds_box["v"] = np.asarray(delta_s_dev)
+            if host_ds_ok:
+                _build_ds_from_host()
+            else:
+                ds_box["v"] = np.asarray(delta_s_dev)
         return ds_box["v"]
 
     dict_payloads = None
@@ -1978,12 +2169,12 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # fetch the phase-B/C results in worker threads while the host
     # evaluates the lookback candidates (device compute + transfer overlap
     # the host math)
+    # moments feed page-meta delta states: the device file-image assembler
+    # reads them from moments_dev directly and the host page writer only
+    # touches them at write time, so the fetch is LAZY (a ~0.2 s transfer
+    # at 64M that would otherwise sit on the image path's critical path)
     fetch_box: Dict[str, np.ndarray] = {}
-    fetch_threads = [
-        threading.Thread(
-            target=lambda: fetch_box.__setitem__("m", np.asarray(moments_dev))
-        )
-    ]
+    fetch_threads = []
     for gi, (lanes, buf_w) in enumerate(hist_handles):
         fetch_threads.append(threading.Thread(
             target=lambda gi=gi, b=buf_w: fetch_box.__setitem__(
@@ -2020,10 +2211,13 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 ) + cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
                 _apply_lb_cost(ci, lb_cost)
     elif lb_pending:
-        # host-sample A/B path (PCODEC_LB_HOST=1)
+        # host-sample path (PCODEC_LB_HOST=1, the default): the speculative
+        # native stats computed during the buf transfer cover split-free
+        # chunks; split-mode chunks and the no-native fallback compute here
         ds = _delta_samples()
+        spec_stats = lb_box.get("stats")
 
-        def _lb_cost(ci):
+        def _lb_cost_py(ci):
             a, dn = delta_spans[ci]
             sample = _host_primary_sample(ci, ds[a : a + dn])
             penalty = cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
@@ -2032,17 +2226,46 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 cmp.new_lookback(dn), plt,
             ) + penalty
 
-        # the hot loops (lookback chooser, bin DP) are native and release
-        # the GIL, so a small thread pool overlaps the per-chunk evals
-        from concurrent.futures import ThreadPoolExecutor
+        def _lb_cost_stats(ci, slot0, slot1, cap_l):
+            dn = delta_spans[ci][1]
+            enc_l = cmp.new_lookback(dn)
+            n_lb = max(dn - enc_l.state_n, 0)
+            return _cost_from_native_stats(
+                [("delta", slot0, n_lb), ("primary", slot1, n_lb)],
+                enc_l, plt, cap_l,
+            ) + cmp.LOOKBACK_REQUIRED_BYTE_SAVINGS_PER_N * dn
 
-        if len(lb_pending) > 3:
-            with ThreadPoolExecutor(max_workers=8) as pool:
-                lb_costs = list(pool.map(_lb_cost, lb_pending))
-        else:
-            lb_costs = [_lb_cost(ci) for ci in lb_pending]
-        for ci, lb_cost in zip(lb_pending, lb_costs):
-            _apply_lb_cost(ci, lb_cost)
+        redo = []  # (ci,) needing a transformed recompute
+        for ci in lb_pending:
+            split = ci in prim_bases or ci in fmult_map
+            if spec_stats is not None and not split:
+                stats_l, cap_l = spec_stats
+                _apply_lb_cost(
+                    ci, _lb_cost_stats(ci, stats_l[ci, 0], stats_l[ci, 1],
+                                       cap_l))
+            elif _nk is not None:
+                redo.append(ci)
+            else:
+                _apply_lb_cost(ci, _lb_cost_py(ci))
+        if redo:
+            samples_r = []
+            for ci in redo:
+                a, dn = delta_spans[ci]
+                samples_r.append(_host_primary_sample(
+                    ci, ds[a : a + dn]).astype(plt.np_dtype).astype(np.uint64))
+            sn_r = np.asarray([len(s) for s in samples_r], np.int64)
+            soff_r = np.concatenate([[0], np.cumsum(sn_r)[:-1]]).astype(np.int64)
+            wnls_r = np.asarray(
+                [cmp.new_lookback(int(m)).window_n_log for m in sn_r], np.int32)
+            stats_r, cap_r = _nk.delta_cand_stats(
+                np.concatenate(samples_r), soff_r, sn_r, plt.bits,
+                plt.offset_bits_bits,
+                np.asarray([ubls[ci] for ci in redo], np.int32), -1, -1,
+                wnls=wnls_r, n_threads=1)
+            for k, ci in enumerate(redo):
+                _apply_lb_cost(
+                    ci, _lb_cost_stats(ci, stats_r[k, 0], stats_r[k, 1],
+                                       cap_r))
     _t0 = _trace("lookback eval", _t0)
 
     # ---- device lookback ENCODE for the routed chunks ----
@@ -2076,7 +2299,14 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
     for t in fetch_threads:
         t.join()
-    moments = fetch_box["m"]
+
+    moments_box: List[Optional[np.ndarray]] = [None]
+
+    def _moments_np():
+        if moments_box[0] is None:
+            moments_box[0] = np.asarray(moments_dev)
+        return moments_box[0]
+
     _t0 = _trace("moments+walk join", _t0)
 
     hist_bins: Dict[int, list] = {}
@@ -2208,7 +2438,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                     mode = Mode(Mode.INT_MULT, int_bases[ci])
             meta = cmp.ChunkMeta(mode, encs[ci], var_metas, nt.latent)
             page_infos = _device_page_infos(
-                pages_per_chunk[ci], order, moments[ci * rows_per_chunk :], nt,
+                pages_per_chunk[ci], order,
+                (lambda ci=ci: _moments_np()[ci * rows_per_chunk :]), nt,
                 has_secondary=has_sec, state_dtype=plt.np_dtype,
             )
             var_list = [("primary", lvc, bins, order, ci * rows_per_chunk, dev_rows)]
@@ -2288,20 +2519,31 @@ class _DevicePageInfos:
     each page once, so build on access instead.
 
     Delta states are raw latents in page metadata — latent width matters
-    (metadata/page_latent_var.rs:18-50)."""
+    (metadata/page_latent_var.rs:18-50).
 
-    def __init__(self, per_page: List[int], order: int, chunk_moments: np.ndarray, nt,
+    chunk_moments may be a zero-arg callable (lazy device fetch): the
+    file-image assembler never touches host states, so the host moments
+    transfer only happens when the host page writer actually runs."""
+
+    def __init__(self, per_page: List[int], order: int, chunk_moments, nt,
                  has_secondary: bool = False, state_dtype=None):
         self.per_page = per_page
         self.order = order
         self.has_secondary = has_secondary
         ldt = state_dtype if state_dtype is not None else nt.latent.np_dtype
         self.empty = np.zeros(0, dtype=ldt)
-        if order:
-            self.states = np.ascontiguousarray(
-                chunk_moments[: len(per_page), :order]
-            ).astype(ldt)
+        self._moments = chunk_moments
+        self._states = None
         self.starts = np.concatenate([[0], np.cumsum(per_page)])
+
+    @property
+    def states(self):
+        if self._states is None:
+            m = self._moments() if callable(self._moments) else self._moments
+            self._states = np.ascontiguousarray(
+                m[: len(self.per_page), : self.order]
+            ).astype(self.empty.dtype)
+        return self._states
 
     def __len__(self):
         return len(self.per_page)

@@ -654,7 +654,10 @@ def _build_launch_args(groups, dev_rows=None):
                            sec_words=sec_words)
         n_tables = len(jobs)
         width = max(ts_pad, b_pad)
-        tables = np.zeros((n_tables, 5, 8, width), dtype=np.int64)
+        # one sublane row per table on the host; the 8x sublane replication
+        # the EB kernel's VMEM layout wants happens device-side (the upload
+        # would otherwise be 8x bigger — ~10 MB at 64M on a MB/s tunnel)
+        tables = np.zeros((n_tables, 5, 1, width), dtype=np.int64)
         chain_runs = []
         tbl_ids = []
         lat_rows = []
@@ -727,7 +730,10 @@ def _build_launch_args(groups, dev_rows=None):
         bodyn = _dense_quad_dev(jnp.asarray(bodyn_all))
         states0 = _dense_quad_dev(jnp.asarray(states0_all))
 
-        dev_args = (latlo, lathi, jnp.asarray(tables.astype(np.int32)), bodyn,
+        tables_dev = jnp.broadcast_to(
+            jnp.asarray(tables.astype(np.int32)),
+            (n_tables, 5, 8, width))
+        dev_args = (latlo, lathi, tables_dev, bodyn,
                     states0, jnp.asarray(np.asarray(tbl_ids, dtype=np.int32)))
         built.append((schema, jobs, dev_args))
     return built

@@ -140,3 +140,86 @@ class TestHostDecideAB:
         assert ka == kb
         assert a == b
         assert any(b"\x00" != m[:1] for m in a)  # sanity: non-empty metas
+
+
+class TestNativeDecisionParity:
+    def test_native_batch_matches_python_reference(self):
+        """pco_delta_cand_stats + the python cost layer must reproduce
+        choose_auto_delta_encoding_from_sample exactly across shapes
+        (noop / order-k / lookback winners, tiny chunks, fuzz)."""
+        pytest.importorskip("pcodec_tpu.native.kernels")
+        from pcodec_tpu.codec import compress as cmp
+        from pcodec_tpu.native import kernels as _nk
+        from pcodec_tpu.ops import device_train as dt
+        from pcodec_tpu.dtypes import U64, number_type_from_np
+
+        rng = np.random.default_rng(5)
+        n = 150_000
+        pat = rng.integers(0, 10**6, 512).astype(np.int64)
+        cases = [
+            np.cumsum(rng.integers(0, 120, n)).astype(np.int64),
+            np.tile(pat, n // 512) + rng.integers(0, 2, (n // 512) * 512),
+            rng.integers(-2**62, 2**62, n).astype(np.int64),
+            np.cumsum(np.cumsum(rng.integers(0, 9, n))).astype(np.int64),
+            np.full(n, 12345, np.int64) + (rng.random(n) < 0.001),
+            np.cumsum(rng.integers(0, 5, 4096)).astype(np.int64),
+        ]
+        for _ in range(6):  # fuzz: random walks of random roughness
+            k = int(rng.integers(3000, 80_000))
+            step = int(rng.integers(1, 1 << int(rng.integers(1, 40))))
+            cases.append(np.cumsum(rng.integers(0, step, k)).astype(np.int64))
+
+        samples, cns, ubls, expected = [], [], [], []
+        for x in cases:
+            nt = number_type_from_np(x.dtype)
+            cn = len(x)
+            dsl = cmp.delta_sample_slices(
+                cn, cmp.DELTA_GROUP_SIZE, 1 + cn // cmp.N_PER_EXTRA_DELTA_GROUP)
+            seg = np.concatenate([x[a:b] for a, b in dsl])
+            s = nt.to_latent_ordered(seg).astype(np.uint64)
+            ubl = cmp.choose_unoptimized_bins_log(8, cn)
+            expected.append(
+                cmp.choose_auto_delta_encoding_from_sample(s, cn, ubl, nt.latent))
+            samples.append(s)
+            cns.append(cn)
+            ubls.append(ubl)
+
+        got = dt._native_auto_delta_batch(samples, cns, ubls, U64, _nk)
+        for ci, exp in enumerate(expected):
+            g = got[ci]
+            assert (g.kind, g.order, g.window_n_log) == \
+                (exp.kind, exp.order, exp.window_n_log), ci
+
+    def test_native_lookback_cost_float_equal(self):
+        """_cost_from_native_stats over pco_delta_cand_stats lookback slots
+        must equal lookback_cost_from_sample to the last float bit (it feeds
+        finalize_delta_choice comparisons)."""
+        pytest.importorskip("pcodec_tpu.native.kernels")
+        from pcodec_tpu.codec import compress as cmp
+        from pcodec_tpu.native import kernels as _nk
+        from pcodec_tpu.ops import device_train as dt
+        from pcodec_tpu.dtypes import U64
+
+        rng = np.random.default_rng(77)
+        for trial in range(8):
+            dn = int(rng.integers(500, 30_000))
+            if trial % 3 == 0:
+                s = np.cumsum(rng.integers(0, 120, dn)).astype(np.uint64)
+            elif trial % 3 == 1:
+                pat = rng.integers(0, 10**6, 256).astype(np.uint64)
+                s = np.resize(pat, dn) + rng.integers(0, 2, dn).astype(np.uint64)
+            else:
+                s = rng.integers(0, 1 << 50, dn).astype(np.uint64)
+            ubl = int(rng.integers(4, 9))
+            enc = cmp.new_lookback(dn)
+            expect = cmp.lookback_cost_from_sample(s, ubl, enc, U64)
+            sn = np.asarray([dn], np.int64)
+            stats, cap = _nk.delta_cand_stats(
+                s, np.asarray([0], np.int64), sn, 64, U64.offset_bits_bits,
+                np.asarray([ubl], np.int32), -1, -1,
+                wnls=np.asarray([enc.window_n_log], np.int32))
+            n_lb = max(dn - enc.state_n, 0)
+            got = dt._cost_from_native_stats(
+                [("delta", stats[0, 0], n_lb), ("primary", stats[0, 1], n_lb)],
+                enc, U64, cap)
+            assert got == expect, (trial, got, expect)
