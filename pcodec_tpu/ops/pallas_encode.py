@@ -694,9 +694,15 @@ def _build_launch_args(groups, dev_rows=None):
                 lat_rows.append(
                     jnp.pad(body2d, ((0, 0), (0, o))) if o else body2d
                 )
-                for pi, info in enumerate(cc.page_infos):
-                    piv = info.per_latent_var.get(var)
-                    bn[pi] = piv.end - piv.start
+                sc_fn = getattr(cc.page_infos, "stored_counts", None)
+                if sc_fn is not None:
+                    # vectorized: building one PageInfo object per page
+                    # costs ~0.1 s per encode at 64M on a 1-core host
+                    bn[:n_pages] = sc_fn(var)
+                else:
+                    for pi, info in enumerate(cc.page_infos):
+                        piv = info.per_latent_var.get(var)
+                        bn[pi] = piv.end - piv.start
             else:
                 lat64 = lvc.latents.astype(np.uint64)
                 rows = np.zeros((n_pages + n_pad, pg), dtype=np.uint64)
