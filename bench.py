@@ -134,6 +134,42 @@ def main():
     expect = int(np.sum(nums.view(np.uint64), dtype=np.uint64))
     assert checksum == expect, "device decode checksum mismatch!"
 
+    # one-time FULL-WIDTH bit-exactness: compare every decoded word against
+    # the independently uploaded source ON DEVICE (a 512 MB readback through
+    # the MB/s tunnel would take minutes; this fetches one bool). Untimed.
+    # Two jits: decode-to-arrays (same graph size as the timed decode) and a
+    # tiny compare — one fused graph exceeds the remote-compile size limit.
+    nums_dev = jnp.asarray(nums)
+    chunk_ns_d = list(plan.idx.chunk_ns)
+    dec_fn = jax.jit(lambda args: [
+        r for r in pd._decode_plan_device(plan, args) if r is not None])
+    res_dev = dec_fn(la)
+
+    def full_compare(res, nd):
+        ok = jnp.bool_(True)
+        start = 0
+        k = 0
+        for cp, n_i in zip(plan.chunks, chunk_ns_d):
+            ref = jax.lax.dynamic_slice_in_dim(nd, start, int(n_i), 0)
+            start += int(n_i)
+            if cp.fallback is not None:
+                continue
+            r = res[k]
+            k += 1
+            if r.ndim == 2:  # fused int32 little-endian word pairs
+                ok = ok & jnp.all(r == jax.lax.bitcast_convert_type(ref, jnp.int32))
+            else:
+                ok = ok & jnp.all(
+                    r == jax.lax.bitcast_convert_type(ref, jnp.uint64))
+        return ok.reshape(1)
+
+    # nums_dev is an ARGUMENT: closing over the device array would embed
+    # a 512 MB constant in the remote-compile request (HTTP 413)
+    decode_bit_exact = bool(
+        np.asarray(jax.jit(full_compare)(res_dev, nums_dev))[0])
+    assert decode_bit_exact, "device decode differs from source bits!"
+    del res_dev
+
     best = 9e9
     for _ in range(8):
         t0 = time.perf_counter()
@@ -152,7 +188,6 @@ def main():
     # image is byte-compared against the host encoder's file once, untimed.
     from pcodec_tpu.ops import assemble
 
-    nums_dev = jnp.asarray(nums)
     _ = int(jnp.sum(nums_dev, dtype=jnp.int64)[None][0])  # force upload
     cfg = (None if ANS_CAP is None else
            __import__("pcodec_tpu").ChunkConfig(ans_size_log_cap=ANS_CAP))
@@ -201,7 +236,7 @@ def main():
                     "encode_train_secs": round(train_secs, 2),
                     "encode_device_secs": round(encode_wall - train_secs, 2),
                     "encode_bit_exact_bytes": encode_bit_exact,
-                    "bit_exact_checksum": True,
+                    "decode_bit_exact_bytes": decode_bit_exact,
                 },
             }
         )

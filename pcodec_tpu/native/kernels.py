@@ -453,3 +453,35 @@ def delta_cand_stats(samples_flat, soff, sn, bits, obb, ubls,
         cap, _ptr(out, ctypes.c_int64), n_threads,
     )
     return out.reshape(n_chunks, cands, stride), cap
+
+
+_lib.pco_hist_cand_stats.restype = None
+_lib.pco_hist_cand_stats.argtypes = [
+    _u64p, _u64p, _u64p, _i64p, _i64p, _i64p, _i32p,
+    ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+    _i64p, ctypes.c_int,
+]
+
+
+def hist_cand_stats(counts, lowers, uppers, boff, bn, n_stored, ubls_slot,
+                    bits, obb):
+    """Partition + quantize from precomputed histograms, one slot per
+    candidate (see pco_hist_cand_stats). Returns (int64 (n_slots,
+    2 + 2*cap), cap)."""
+    n_slots = len(bn)
+    cap = 1 << int(np.max(ubls_slot)) if n_slots else 1
+    stride = 2 + 2 * cap
+    out = np.zeros(n_slots * stride, np.int64)
+    args = [np.ascontiguousarray(a, np.uint64) for a in (counts, lowers, uppers)]
+    boff = np.ascontiguousarray(boff, np.int64)
+    bn_a = np.ascontiguousarray(bn, np.int64)
+    nst = np.ascontiguousarray(n_stored, np.int64)
+    ub = np.ascontiguousarray(ubls_slot, np.int32)
+    _lib.pco_hist_cand_stats(
+        _ptr(args[0], ctypes.c_uint64), _ptr(args[1], ctypes.c_uint64),
+        _ptr(args[2], ctypes.c_uint64), _ptr(boff, ctypes.c_int64),
+        _ptr(bn_a, ctypes.c_int64), _ptr(nst, ctypes.c_int64),
+        _ptr(ub, ctypes.c_int32), n_slots, bits, obb, cap,
+        _ptr(out, ctypes.c_int64), 1,
+    )
+    return out.reshape(n_slots, stride), cap

@@ -1073,3 +1073,47 @@ extern "C" void pco_delta_cand_stats(
     });
   for (auto& th : ts) th.join();
 }
+
+// Candidate stats from PRECOMPUTED histograms (the device-walked candidate
+// bins): partition + quantize per slot — the native half of
+// sample_cost_from_unopt for the consecutive-order chain decisions.
+extern "C" void pco_hist_cand_stats(
+    const uint64_t* counts, const uint64_t* lowers, const uint64_t* uppers,
+    const long long* boff, const long long* bn, const long long* n_stored,
+    const int32_t* ubls_slot, long long n_slots, int bits, int obb,
+    long long cap, int64_t* out, int n_threads) {
+  (void)n_threads;  // slots are tiny; a thread pool is a loss on 1 core
+  long long stride = 2 + 2 * cap;
+  for (long long s = 0; s < n_slots; s++) {
+    int64_t* slot = out + s * stride;
+    slot[0] = 0;
+    slot[1] = 0;
+    long long nb = bn[s];
+    long long nst = n_stored[s];
+    if (nb == 0 || nst == 0) continue;
+    const uint64_t* co = counts + boff[s];
+    const uint64_t* lo = lowers + boff[s];
+    const uint64_t* up = uppers + boff[s];
+    int n_log_ceil = nst <= 1 ? 0 : pco_cand::bit_length_ll(nst - 1);
+    int estimated = (int)ubls_slot[s] + 2;
+    if (estimated > 12) estimated = 12;
+    if (estimated > n_log_ceil) estimated = n_log_ceil;
+    std::vector<long long> js(nb), is_(nb);
+    long long np_ = pco_cand::partition_bins(co, lo, up, nb, estimated, bits,
+                                             obb, js.data(), is_.data());
+    if (np_ > cap) continue;
+    std::vector<uint32_t> cc(nb + 1);
+    cc[0] = 0;
+    for (long long k = 0; k < nb; k++) cc[k + 1] = cc[k] + (uint32_t)co[k];
+    std::vector<int64_t> w(np_);
+    for (long long k = 0; k < np_; k++) {
+      w[k] = (int64_t)(cc[is_[k] + 1] - cc[js[k]]);
+      uint64_t diff = up[is_[k]] - lo[js[k]];
+      slot[2 + cap + k] = diff ? 64 - __builtin_clzll(diff) : 0;
+    }
+    int asl = pco_cand::quantize_weights(w.data(), np_, nst, estimated,
+                                         &slot[2]);
+    slot[0] = np_;
+    slot[1] = asl;
+  }
+}

@@ -2022,7 +2022,60 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             ci, cb = item
             return cmp.extend_orders_chain([], cb, int(ubls[ci]), plt)
 
-        if len(chain_items) > 3:
+        def _chains_native(items):
+            """extend_orders_chain for every chunk in ONE native call: the
+            per-candidate partition+quantize runs in C++
+            (pco_hist_cand_stats) and the float cost layer on top is the
+            same as sample_cost_from_unopt, so costs and break points are
+            identical."""
+            co_all, lo_all, up_all = [], [], []
+            boff, bns, nsts, ubl_slots = [], [], [], []
+            pos = 0
+            for ci, cb in items:
+                for bins, nst in cb:
+                    co, lo, up = bins
+                    co_all.append(np.ascontiguousarray(co, dtype=np.uint64))
+                    lo_all.append(np.ascontiguousarray(lo, dtype=np.uint64))
+                    up_all.append(np.ascontiguousarray(up, dtype=np.uint64))
+                    boff.append(pos)
+                    bns.append(len(co))
+                    pos += len(co)
+                    nsts.append(int(nst))
+                    ubl_slots.append(int(ubls[ci]))
+            z = np.zeros(0, np.uint64)
+            stats, cap = _nk.hist_cand_stats(
+                np.concatenate(co_all) if co_all else z,
+                np.concatenate(lo_all) if lo_all else z,
+                np.concatenate(up_all) if up_all else z,
+                boff, bns, nsts, ubl_slots, plt.bits, plt.offset_bits_bits)
+            res = []
+            k = 0
+            for ci, cb in items:
+                costs = []
+                broke = False
+                for cand in range(len(cb)):
+                    order = len(costs)
+                    enc = (DeltaEncoding.noop() if order == 0
+                           else DeltaEncoding.consecutive(order))
+                    cost = _cost_from_native_stats(
+                        [("primary", stats[k + cand], nsts[k + cand])],
+                        enc, plt, cap)
+                    costs.append(cost)
+                    if order > 0 and cost >= min(costs[:-1]):
+                        broke = True
+                        break
+                    if order == c.MAX_CONSECUTIVE_DELTA_ORDER:
+                        broke = True
+                        break
+                else:
+                    broke = len(costs) > c.MAX_CONSECUTIVE_DELTA_ORDER
+                k += len(cb)
+                res.append((costs, broke))
+            return res
+
+        if _nk is not None and chain_items:
+            chain_results = _chains_native(chain_items)
+        elif len(chain_items) > 3:
             # the bin DP inside each eval is native (GIL released)
             from concurrent.futures import ThreadPoolExecutor
 

@@ -597,12 +597,16 @@ class TestDeviceTrain:
         self._dt(np.where(rng.random(150_000) < 0.01, np.inf,
                           rng.normal(0, 1e6, 150_000)))
 
-    def test_float_mode_winners_host_fallback(self):
+    def test_float_mode_winners_stay_on_device(self):
+        """FloatMult auto winners ride the device pipeline (the integer
+        softfloat split, round 2); stale pre-softfloat expectation was
+        'host' — this test never ran on hardware until round 3 (tunnel
+        outage) and byte identity is the substance either way."""
         from pcodec_tpu.ops.device_train import plan_encode_device
 
         rng = np.random.default_rng(22)
         decimal = (rng.integers(0, 10000, 150_000) * 0.01).astype(np.float64)
         planned = plan_encode_device(decimal, None, 256, 131072)
         assert planned is not None
-        assert all(kind == "host" for kind, _ in planned[3])
+        assert all(kind == "device" for kind, _ in planned[3])
         _identical(decimal, page_n=256, chunk_n=131072)
