@@ -776,6 +776,60 @@ def _pack_bins_dense(co, lo, up, nbn):
     return dense[:cap]
 
 
+def _pack_bins_dense32(co, lo, up, nbn):
+    """Transfer-packed bins for the tunnel (which moves a few MB/s): per
+    row, lower/upper are stored relative to the row's first lower (bins are
+    sorted ascending), so each bin costs 12 bytes instead of 24. Returns
+    (dense32 (cap, 3) u32 [lower-base, upper-base, count], base u64
+    (rows,), fits u32 (rows,)). Rows whose span overflows 32 bits (fits=0,
+    rare) must be re-read from the exact u64 packing instead; the host
+    reconstruction base + u32 is exact integer math, so decisions stay
+    byte-identical to the host pipeline."""
+    rows, nb = co.shape
+    base = lo[:, 0]
+    last = jnp.maximum(nbn.astype(jnp.int32) - 1, 0)[:, None]
+    span = jnp.take_along_axis(up, last, axis=1)[:, 0] - base
+    fits = (span <= jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    lo32 = (lo - base[:, None]).astype(jnp.uint32)
+    up32 = (up - base[:, None]).astype(jnp.uint32)
+    cap = rows * nb
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(nbn.astype(jnp.int64))[:-1]]
+    )
+    col = jax.lax.broadcasted_iota(jnp.int64, (rows, nb), 1)
+    valid = col < nbn.astype(jnp.int64)[:, None]
+    tgt = jnp.where(valid, starts[:, None] + col, cap).reshape(-1)
+    z32 = jnp.uint32(0)
+    dense = jnp.zeros((cap + 1, 3), jnp.uint32)
+    dense = dense.at[tgt, 0].add(jnp.where(valid, lo32, z32).reshape(-1))
+    dense = dense.at[tgt, 1].add(jnp.where(valid, up32, z32).reshape(-1))
+    dense = dense.at[tgt, 2].add(
+        jnp.where(valid, co.astype(jnp.uint32), z32).reshape(-1))
+    return dense[:cap], base, fits
+
+
+def _unpack_bins32(nbn, base, fits, dense32, dense64_d):
+    """Host side of _pack_bins_dense32: per-row (counts, lowers, uppers)
+    u64 views. dense64_d: the device-resident exact packing, fetched only
+    for rows whose span overflowed u32 (rare; costs one extra RPC)."""
+    row_starts = np.concatenate([[0], np.cumsum(nbn)])
+    dense64 = None
+    if not fits.all():
+        dense64 = np.asarray(dense64_d)[: int(row_starts[-1])]
+    out = []
+    for r in range(len(nbn)):
+        a_, b_ = int(row_starts[r]), int(row_starts[r + 1])
+        if fits[r]:
+            sl = dense32[a_:b_]
+            out.append((sl[:, 2].astype(np.uint64),
+                        base[r] + sl[:, 0].astype(np.uint64),
+                        base[r] + sl[:, 1].astype(np.uint64)))
+        else:
+            sl = dense64[a_:b_]
+            out.append((sl[:, 2], sl[:, 0], sl[:, 1]))
+    return out
+
+
 def _fetch_packed_bins(dense_d, nbn_d):
     """Fetch device-packed bins; returns per-row (counts, lowers, uppers)
     u64 array triplets (array views, no per-bin Python objects — tens of
@@ -819,11 +873,12 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "cands", "has_bases", "min_order", "f_params"))
+    "cands", "has_bases", "min_order", "f_params", "pack32"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
                             cands="orders+lookback", bases=None, has_bases=False,
-                            min_order=0, fmult_invb=None, f_params=None):
+                            min_order=0, fmult_invb=None, f_params=None,
+                            pack32=False):
     """Histogram bins for auto-delta candidates, reduced on device.
 
     cands selects the candidate rows: "orders" = noop + consecutive
@@ -889,6 +944,9 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
         sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
         n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
         co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
+        if pack32:
+            d32, base, fits = _pack_bins_dense32(co, lo, up, nbn)
+            return (d32, base, fits, _pack_bins_dense(co, lo, up, nbn)), nbn
         return _pack_bins_dense(co, lo, up, nbn), nbn
     lbs = _choose_lookbacks_device(sm, lens, lat_bits, window_n_log, 1)
     lb_full = jnp.concatenate(
@@ -1018,15 +1076,24 @@ def _phase_secondary(lat2d, row_sel, base_row, flip_row, rowlen, n_stored,
 @partial(jax.jit, static_argnames=("nb_log",))
 def _phase_walk(V, L, R, SL1, SR, S0, nreal, sel, nb_log):
     """Walk selected chunk lanes at one nb_log; extracts stay device-side.
-    Returns one packed u64 buffer [n_bins (lanes) | dense bins (cap, 3)] so
-    the host collects it in a single fetch."""
+    Returns (packed u32 buffer [n_bins (lanes) | base lo32 | base hi32 |
+    fits | dense32 (cap, 3) flat] — one small fetch through the MB/s
+    tunnel — and the exact u64 dense packing, fetched only for rows whose
+    bin span overflows 32 bits)."""
     nbg = 1 << nb_log
     co, lo, up, nbn = _walk_bins_device(
         V[sel, :nbg], L[sel, :nbg], R[sel, :nbg], SL1[sel, :nbg],
         SR[sel, :nbg], S0[sel], nreal[sel], nb_log,
     )
-    dense = _pack_bins_dense(co.astype(jnp.uint32), lo, up, nbn)
-    return jnp.concatenate([nbn.astype(jnp.uint64), dense.reshape(-1)])
+    co = co.astype(jnp.uint32)
+    d32, base, fits = _pack_bins_dense32(co, lo, up, nbn)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    buf = jnp.concatenate([
+        nbn.astype(jnp.uint32), (base & m32).astype(jnp.uint32),
+        (base >> jnp.uint64(32)).astype(jnp.uint32), fits,
+        d32.reshape(-1),
+    ])
+    return buf, _pack_bins_dense(co, lo, up, nbn)
 
 
 STAGE1_ORDERS = 2  # candidate orders evaluated in the fused first dispatch
@@ -1054,33 +1121,43 @@ def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
         nums_dev, mode_idx, delta_idx, kind=kind, mid=mid,
         total_rows=total_rows, page_n=page_n,
     )
+    m32 = jnp.uint64(0xFFFFFFFF)
+
+    def _split64(x):
+        return [(x & m32).astype(jnp.uint32),
+                (x >> jnp.uint64(32)).astype(jnp.uint32)]
+
     parts = []
+    d64_handles = []
     if int_auto:
         vals, cnts, nuniq = _phase_int_gcd(
             mode_s, gcd_starts, gcd_lens,
             n_chunks=gcd_starts.shape[0], m_max=gcd_m_max, k=_GCD_K,
         )
-        parts += [vals.reshape(-1), cnts.astype(jnp.uint64).reshape(-1),
-                  nuniq.astype(jnp.uint64)]
+        parts += _split64(vals.reshape(-1).astype(jnp.uint64))
+        parts += [cnts.astype(jnp.uint32).reshape(-1),
+                  nuniq.astype(jnp.uint32)]
     pos = 0
     for (g_n, g_m, g_nb) in cand_meta:
-        dense, nbn = _phase_delta_candidates(
+        (d32, gbase, gfits, d64), nbn = _phase_delta_candidates(
             delta_s, cand_starts[pos : pos + g_n], cand_lens[pos : pos + g_n],
             n_chunks=g_n, m_max=g_m, max_order=STAGE1_ORDERS,
             nb_log=g_nb, lat_bits=lat_bits, window_n_log=4,
-            cands="orders",
+            cands="orders", pack32=True,
         )
-        parts += [nbn.astype(jnp.uint64), dense.reshape(-1)]
+        parts += [nbn.astype(jnp.uint32)] + _split64(gbase) + [
+            gfits, d32.reshape(-1)]
+        d64_handles.append(d64)
         pos += g_n
     if fetch_mode_s:
-        parts.append(mode_s)
+        parts += _split64(mode_s)
     small = (
-        jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint64)
+        jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint32)
     )
     # delta_s is ~n/50 latents (the big transfer) and is only consumed by
     # the host lookback evaluator — returned separately so its fetch can
     # run in a worker thread while the host makes the chain decisions
-    return lat2d, mode_s, delta_s, small
+    return lat2d, mode_s, delta_s, small, tuple(d64_handles)
 
 
 def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
@@ -1204,11 +1281,11 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
         if live_a[ci2]:
             by_ubl.setdefault(int(ubls[ci2]), []).append(ci2)
     for ubl_val, lanes in by_ubl.items():
-        buf_w = _phase_walk(
+        buf_w, d64_w = _phase_walk(
             V, L, R, SL1, SR, S0, jnp.asarray(nreal),
             jnp.asarray(np.array(lanes, dtype=np.int32)), nb_log=ubl_val,
         )
-        hist_handles.append((lanes, buf_w))
+        hist_handles.append((lanes, buf_w, d64_w))
     return {
         "dev_rows": dev_rows, "moments_dev": moments_dev, "nreal": nreal,
         "sec_handles": sec_handles, "sec_row_of": sec_row_of,
@@ -1598,7 +1675,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         cand_meta.append((len(cis), int(lens_g.max()), ubl_g))
         pos += len(cis)
 
-    lat2d, mode_s_dev, delta_s_dev, buf_d = _phase_stage1(
+    lat2d, mode_s_dev, delta_s_dev, buf_d, stage1_d64s = _phase_stage1(
         nums_dev, mode_idx_dev, delta_idx_dev,
         jnp.asarray(gcd_starts), jnp.asarray(gcd_lens),
         jnp.asarray(cand_starts), jnp.asarray(cand_lens_np),
@@ -1856,38 +1933,52 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     gcd_np = None
     if int_auto_eff:
         K = _GCD_K
-        g_vals = buf[off : off + n_chunks * K].reshape(n_chunks, K)
-        off += n_chunks * K
-        g_cnts = buf[off : off + n_chunks * K].reshape(n_chunks, K).astype(np.int64)
-        off += n_chunks * K
+        nK = n_chunks * K
+        v_lo = buf[off : off + nK].astype(np.uint64)
+        off += nK
+        v_hi = buf[off : off + nK].astype(np.uint64)
+        off += nK
+        g_vals = (v_lo | (v_hi << 32)).reshape(n_chunks, K)
+        g_cnts = buf[off : off + nK].reshape(n_chunks, K).astype(np.int64)
+        off += nK
         g_nuniq = buf[off : off + n_chunks].astype(np.int64)
         off += n_chunks
         gcd_np = (g_vals, g_cnts, g_nuniq)
     cand_bins_by_ci: Dict[int, list] = {}
     pos = 0
-    for (g_n, g_m, g_nb), (ubl_g, cis) in zip(cand_meta, groups_list):
+    for gi_g, ((g_n, g_m, g_nb), (ubl_g, cis)) in enumerate(
+            zip(cand_meta, groups_list)):
         rows = g_n * n_cand1
         nbn = buf[off : off + rows].astype(np.int64)
         off += rows
+        b_lo = buf[off : off + rows].astype(np.uint64)
+        off += rows
+        b_hi = buf[off : off + rows].astype(np.uint64)
+        off += rows
+        gfits = buf[off : off + rows]
+        off += rows
         cap = rows * (1 << g_nb) * 3
-        dense = buf[off : off + cap].reshape(rows * (1 << g_nb), 3)
+        dense32 = buf[off : off + cap].reshape(rows * (1 << g_nb), 3)
         off += cap
-        row_starts = np.concatenate([[0], np.cumsum(nbn)])
+        per_row = _unpack_bins32(
+            nbn, b_lo | (b_hi << 32), gfits, dense32, stage1_d64s[gi_g])
         for k, ci in enumerate(cis):
             lst = []
             dn_ci = int(cand_lens_np[pos + k])
             for cand in range(n_cand1):
-                r = k * n_cand1 + cand
-                a_, b_ = int(row_starts[r]), int(row_starts[r + 1])
-                sl = dense[a_:b_]
-                lst.append(((sl[:, 2], sl[:, 0], sl[:, 1]),
+                counts, lowers, uppers = per_row[k * n_cand1 + cand]
+                lst.append(((counts, lowers, uppers),
                             max(dn_ci - cand, 0)))
             cand_bins_by_ci[ci] = lst
         pos += g_n
     mode_samples = None
     if is_float_auto:
-        mode_samples = buf[off : off + len(mode_idx)].astype(lt.np_dtype)
-        off += len(mode_idx)
+        L_ms = len(mode_idx)
+        ms_lo = buf[off : off + L_ms].astype(np.uint64)
+        off += L_ms
+        ms_hi = buf[off : off + L_ms].astype(np.uint64)
+        off += L_ms
+        mode_samples = (ms_lo | (ms_hi << 32)).astype(lt.np_dtype)
     _t0 = _trace("stage1 unpack", _t0)
 
     # ---- IntMult base scoring (host math from the packed screening) ----
@@ -2228,7 +2319,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     # at 64M that would otherwise sit on the image path's critical path)
     fetch_box: Dict[str, np.ndarray] = {}
     fetch_threads = []
-    for gi, (lanes, buf_w) in enumerate(hist_handles):
+    for gi, (lanes, buf_w, _d64_w) in enumerate(hist_handles):
         fetch_threads.append(threading.Thread(
             target=lambda gi=gi, b=buf_w: fetch_box.__setitem__(
                 f"w{gi}", np.asarray(b))
@@ -2363,15 +2454,18 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     _t0 = _trace("moments+walk join", _t0)
 
     hist_bins: Dict[int, list] = {}
-    for gi, (lanes, buf_w) in enumerate(hist_handles):
+    for gi, (lanes, buf_w, d64_w) in enumerate(hist_handles):
         wb = fetch_box[f"w{gi}"]
-        nbn_w = wb[: len(lanes)].astype(np.int64)
-        dense_w = wb[len(lanes) :].reshape(-1, 3)
-        row_starts = np.concatenate([[0], np.cumsum(nbn_w)])
+        L_w = len(lanes)
+        nbn_w = wb[:L_w].astype(np.int64)
+        wb_lo = wb[L_w : 2 * L_w].astype(np.uint64)
+        wb_hi = wb[2 * L_w : 3 * L_w].astype(np.uint64)
+        fits_w = wb[3 * L_w : 4 * L_w]
+        dense32_w = wb[4 * L_w :].reshape(-1, 3)
+        per_row = _unpack_bins32(
+            nbn_w, wb_lo | (wb_hi << 32), fits_w, dense32_w, d64_w)
         for k, ci in enumerate(lanes):
-            a_, b_ = int(row_starts[k]), int(row_starts[k + 1])
-            sl = dense_w[a_:b_]
-            hist_bins[ci] = (sl[:, 2], sl[:, 0], sl[:, 1])
+            hist_bins[ci] = per_row[k]
     sec_bins: Dict[int, tuple] = {}
     for cis, dense_d, nbn_d in sec_handles:
         per_row = _fetch_packed_bins(dense_d, nbn_d)
