@@ -21,10 +21,13 @@ since they carry the trained bins] [page meta: delta-state latents + 4 ANS
 final-state idxs, bit-packed LSB-first then byte-padded — ref
 pco/src/metadata/page.rs via format/metadata.py PageMeta.write_to] then the
 byte-aligned section bytes from the EC kernel. Pages land at arbitrary byte
-offsets, so the body is a ragged concat of three row streams:
+offsets, so the body is a ragged concat of two row streams:
 
-  A: page-meta rows (device-packed from EC final states + delta moments)
-  B: section rows (EC kernel output, one row per page)
+  A: one row per page [page meta | section bytes] — the meta (device-packed
+     from EC final states + delta moments) and the EC kernel's section row
+     are contiguous in the file and meta_bytes is static per chunk, so they
+     merge with static shifts; one stream halves the stitch kernel's
+     per-step DMA count (it is DMA-latency bound)
   C: chunk-boundary prefix rows (host bytes, device byte-shifted)
 
 Each stream is pre-shifted by its destination offset mod 4 (a dense
@@ -37,16 +40,17 @@ Two stitch implementations:
   - _stitch_xla: gather-based reference (correct everywhere; tests compare
     it and the kernel against the host encoder byte-for-byte)
   - the superblock Pallas kernel (_stitch_pass): the body is cut into
-    SB_WORDS superblocks; pass p's grid step i owns the PRIVATE contiguous
+    SB superblocks; pass p's grid step i owns the PRIVATE contiguous
     2-superblock output region starting at superblock 2i+p and deposits
     exactly the rows STARTING in superblock 2i+p (every row fits inside
-    one 2-superblock span since max row bytes <= 4*SB_WORDS/2). Pass
-    outputs are contiguous flat images offset by 0 / SB_WORDS; the file
+    one 2-superblock span since max row bytes <= 4*SB/2). Pass
+    outputs are contiguous flat images offset by 0 / SB; the file
     body is their OR — no cross-step aliasing, no write races. Row words
     are extracted with the realign kernel's sublane-roll trick and placed
     with dynamic lane rolls.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -64,7 +68,6 @@ from jax.experimental.pallas import tpu as pltpu
 from pcodec_tpu import constants as c
 
 BATCH = c.FULL_BATCH_N
-SB_WORDS = 4096          # superblock: 16 KB; every row must fit in 2*SB
 _GUARD_CAP = 1 << 16     # superblock-count cap for the guard histogram
 _W_BUCKET = 1 << 18      # XLA-stitch output size classes (words)
 
@@ -74,6 +77,27 @@ def _interpret():
         return jax.devices()[0].platform not in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return True
+
+
+# Superblock size in u32 words; every row must fit in one superblock (so a
+# row starting in superblock s always lands inside the pass's private
+# 2-superblock region [s, s+2)). A/B on real v5e 2026-08-20 (64M taxi):
+# SB=8192 halves the grid but REGRESSES the stitch 0.226 s -> 0.338 s (the
+# 2x-unrolled per-step row loop costs more than the saved DMA latency), so
+# the default stays 4096 everywhere. PCODEC_SB_WORDS overrides for A/Bs.
+_SB_CACHED = None
+
+
+def _sb_words():
+    global _SB_CACHED
+    if _SB_CACHED is None:
+        env = os.environ.get("PCODEC_SB_WORDS")
+        _SB_CACHED = int(env) if env else 4096
+    return _SB_CACHED
+
+
+def _caps_scale():
+    return max(_sb_words() // 4096, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +245,7 @@ def _max_run(F0):
 
 
 def _max_per_sb(F0):
-    sb = jnp.clip(F0.astype(jnp.int64) // SB_WORDS, 0, _GUARD_CAP - 1)
+    sb = jnp.clip(F0.astype(jnp.int64) // _sb_words(), 0, _GUARD_CAP - 1)
     cnt = jnp.zeros((_GUARD_CAP,), jnp.int32).at[sb].add(1)
     return jnp.max(cnt).astype(jnp.int64)
 
@@ -229,10 +253,10 @@ def _max_per_sb(F0):
 @partial(jax.jit, static_argnames=("layout",))
 def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
                    total_bits, moments, head_host_words, pfx_words):
-    """All-device row construction. Returns dict of device arrays: the three
+    """All-device row construction. Returns dict of device arrays: the two
     pre-shifted row streams + their (F0, lenW) tables, the dense head words,
-    and guard scalars [body_bytes, body_words, nsb, maxA, maxB, maxC,
-    runA, runB, runC]."""
+    and guard scalars [body_bytes, body_words, nsb, maxA, maxC,
+    runA, runC]."""
     R = layout.total_pages
     cranges = layout.chain_ranges()
     identity = all(s == sum(n for _, n in cranges[:i])
@@ -266,9 +290,13 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     body_bytes = starts[-1] + row_total[-1]
 
     off_meta = starts + pfx_bytes_row
-    off_sec = off_meta + meta_bytes_row
 
-    # ---- A: page-meta rows ----
+    # ---- A+B: one combined row per page [page meta | section bytes] ----
+    # the two spans are CONTIGUOUS in the file (meta at off_meta, sections
+    # at off_meta + meta_bytes), and meta_bytes is STATIC per chunk, so the
+    # section words merge in with per-chunk static shifts (dense ops, no
+    # gathers). One stream instead of two halves the stitch kernel's
+    # per-step DMA count (the kernel is DMA-latency bound, NOTES.md).
     ts_row = jnp.asarray(np.asarray(layout.ts, np.int64))[cofp]
     idxs = (st4.astype(jnp.int64) - ts_row[:, None]).astype(jnp.uint64)
     mo = layout.max_order
@@ -295,15 +323,49 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
             packed = _pack_meta_group(
                 mom[sel][:, :o], idxs[sel], o, sl, layout.bits, mw)
             rowsA0 = rowsA0.at[sel].set(packed)
-    rowsA = _byte_shift_rows(rowsA0, (off_meta & 3))
-    F0A = (off_meta >> 2).astype(jnp.int32)
-    lenA = ((meta_bytes_row + (off_meta & 3) + 3) >> 2).astype(jnp.int32)
 
-    # ---- B: section rows ----
-    rowsB = _byte_shift_rows(
-        jax.lax.bitcast_convert_type(sec2d, jnp.uint32), (off_sec & 3))
-    F0B = (off_sec >> 2).astype(jnp.int32)
-    lenB = ((sec_bytes + (off_sec & 3) + 3) >> 2).astype(jnp.int32)
+    sec_u32 = jax.lax.bitcast_convert_type(sec2d, jnp.uint32)
+    SECW = sec_u32.shape[1]
+    # combined unshifted row width: meta words + byte-shifted sections
+    mb_max = max(layout.meta_bytes)
+    WAB = (mb_max >> 2) + SECW + 1
+    cof_np = layout.chunk_of_page()
+    mb_arr = np.asarray(layout.meta_bytes, np.int64)
+    if len(set(layout.meta_bytes)) == 1:
+        mb = int(layout.meta_bytes[0])
+        secsh = _byte_shift_rows(sec_u32, jnp.full((R,), mb & 3, jnp.int32))
+        metap = jnp.concatenate(
+            [rowsA0, jnp.zeros((R, WAB - mw), jnp.uint32)], axis=1)
+        secp = jnp.concatenate(
+            [jnp.zeros((R, mb >> 2), jnp.uint32), secsh,
+             jnp.zeros((R, WAB - (mb >> 2) - (SECW + 1)), jnp.uint32)],
+            axis=1)
+        rowsAB0 = metap | secp
+    else:
+        parts = []
+        row0 = 0
+        npages = layout.n_pages
+        for ci2 in range(layout.n_chunks):
+            npg = npages[ci2]
+            mb = int(mb_arr[ci2])
+            rA = rowsA0[row0:row0 + npg]
+            rS = _byte_shift_rows(
+                sec_u32[row0:row0 + npg],
+                jnp.full((npg,), mb & 3, jnp.int32))
+            metap = jnp.concatenate(
+                [rA, jnp.zeros((npg, WAB - mw), jnp.uint32)], axis=1)
+            secp = jnp.concatenate(
+                [jnp.zeros((npg, mb >> 2), jnp.uint32), rS,
+                 jnp.zeros((npg, WAB - (mb >> 2) - (SECW + 1)), jnp.uint32)],
+                axis=1)
+            parts.append(metap | secp)
+            row0 += npg
+        rowsAB0 = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                   else parts[0])
+    rowsA = _byte_shift_rows(rowsAB0, (off_meta & 3))
+    F0A = (off_meta >> 2).astype(jnp.int32)
+    lenA = ((meta_bytes_row + sec_bytes + (off_meta & 3) + 3) >> 2).astype(
+        jnp.int32)
 
     # ---- C: chunk-boundary prefix rows ----
     p0 = jnp.asarray(layout.page0_of_chunk())
@@ -324,16 +386,15 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     head_words = jnp.concatenate([head_host_words, page_bytes, ansoff])
 
     body_words = (body_bytes + 3) >> 2
-    nsb = (body_words + SB_WORDS - 1) // SB_WORDS
+    nsb = (body_words + _sb_words() - 1) // _sb_words()
     guards = jnp.stack([
         body_bytes, body_words, nsb,
-        _max_per_sb(F0A), _max_per_sb(F0B), _max_per_sb(F0C),
-        _max_run(F0A), _max_run(F0B), _max_run(F0C),
+        _max_per_sb(F0A), _max_per_sb(F0C),
+        _max_run(F0A), _max_run(F0C),
     ])
 
     return dict(
         rowsA=rowsA, F0A=F0A, lenA=lenA,
-        rowsB=rowsB, F0B=F0B, lenB=lenB,
         rowsC=rowsC, F0C=F0C, lenC=lenC,
         head_words=head_words, guards=guards,
     )
@@ -360,11 +421,9 @@ def _stitch_stream_xla(out, rows, F0, lenW, K):
 
 
 @partial(jax.jit, static_argnames=("W_pad", "K"))
-def _stitch_xla(rowsA, F0A, lenA, rowsB, F0B, lenB, rowsC, F0C, lenC,
-                W_pad: int, K: int = 8):
+def _stitch_xla(rowsA, F0A, lenA, rowsC, F0C, lenC, W_pad: int, K: int = 8):
     out = jnp.zeros((W_pad,), jnp.uint32)
     out = _stitch_stream_xla(out, rowsA, F0A, lenA, K)
-    out = _stitch_stream_xla(out, rowsB, F0B, lenB, K)
     out = _stitch_stream_xla(out, rowsC, F0C, lenC, min(K, 3))
     return out
 
@@ -430,7 +489,7 @@ def _stitch_pass_kernel(meta, sc_ref, *refs):
         for v in range(NVO):
             out_ref[0, v] = zero
 
-        sb_base = (2 * i + parity) * SB_WORDS
+        sb_base = (2 * i + parity) * _sb_words()
 
         for s, (P, WB, NV) in enumerate(streams):
             lo = sc_ref[3 * s, i]
@@ -482,15 +541,15 @@ def _stitch_pass_kernel(meta, sc_ref, *refs):
 
 
 @partial(jax.jit, static_argnames=("nsteps", "parity", "caps"))
-def _stitch_pass(rowsA, F0A, lenA, rowsB, F0B, lenB, rowsC, F0C, lenC,
+def _stitch_pass(rowsA, F0A, lenA, rowsC, F0C, lenC,
                  nsteps: int, parity: int, caps: tuple):
     """One pass: grid step i deposits the rows starting in superblock
     2i+parity into its private contiguous 2-superblock region. Returns the
-    flat (nsteps * 2 * SB_WORDS,) int32 image of those regions."""
-    PA, PB, PC = caps
-    streams_in = ((rowsA, F0A, lenA, PA), (rowsB, F0B, lenB, PB),
-                  (rowsC, F0C, lenC, PC))
-    NVO = 2 * SB_WORDS // 1024
+    flat (nsteps * 2 * SB,) int32 image of those regions."""
+    PA, PC = caps
+    streams_in = ((rowsA, F0A, lenA, PA), (rowsC, F0C, lenC, PC))
+    SB = _sb_words()
+    NVO = 2 * SB // 1024
 
     sc_rows = []
     specs = []
@@ -502,9 +561,9 @@ def _stitch_pass(rowsA, F0A, lenA, rowsB, F0B, lenB, rowsC, F0C, lenC,
         WB = P // 8 + 2
         NV = blocks.shape[2] // 128
         meta_streams.append((P, WB, NV))
-        sbs = (jnp.arange(nsteps, dtype=jnp.int64) * 2 + parity) * SB_WORDS
+        sbs = (jnp.arange(nsteps, dtype=jnp.int64) * 2 + parity) * SB
         lo = jnp.searchsorted(F0.astype(jnp.int64), sbs, side="left")
-        hi = jnp.searchsorted(F0.astype(jnp.int64), sbs + SB_WORDS,
+        hi = jnp.searchsorted(F0.astype(jnp.int64), sbs + SB,
                               side="left")
         base_blk = jnp.clip(lo // 8, 0, max(RB - 1, 0))
         sc_rows += [lo.astype(jnp.int32), (hi - lo).astype(jnp.int32),
@@ -547,21 +606,22 @@ def _stitch_pass(rowsA, F0A, lenA, rowsB, F0B, lenB, rowsC, F0C, lenC,
 
 
 def stitch_pallas(prep, nsb: int, caps: tuple):
-    """Two-pass stitch. Returns (ceil(nsb/2)*2*SB_WORDS,) uint32 body."""
+    """Two-pass stitch. Returns (ceil(nsb/2)*2*SB,) uint32 body."""
+    SB = _sb_words()
     a = prep
     nsteps0 = max((nsb + 1) // 2, 1)
-    p0 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"], a["rowsB"], a["F0B"],
-                      a["lenB"], a["rowsC"], a["F0C"], a["lenC"],
+    p0 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"],
+                      a["rowsC"], a["F0C"], a["lenC"],
                       nsteps=nsteps0, parity=0, caps=caps)
     out = p0
     nsteps1 = nsb // 2
     if nsteps1 > 0:
-        p1 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"], a["rowsB"],
-                          a["F0B"], a["lenB"], a["rowsC"], a["F0C"],
-                          a["lenC"], nsteps=nsteps1, parity=1, caps=caps)
-        n1 = min(p1.shape[0], out.shape[0] - SB_WORDS)
-        out = out.at[SB_WORDS:SB_WORDS + n1].set(
-            out[SB_WORDS:SB_WORDS + n1] | p1[:n1])
+        p1 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"],
+                          a["rowsC"], a["F0C"], a["lenC"],
+                          nsteps=nsteps1, parity=1, caps=caps)
+        n1 = min(p1.shape[0], out.shape[0] - SB)
+        out = out.at[SB:SB + n1].set(
+            out[SB:SB + n1] | p1[:n1])
     return jax.lax.bitcast_convert_type(out, jnp.uint32)
 
 
@@ -619,6 +679,11 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
     (schema, jobs, dev_args), = pe._build_launch_args(groups, dev_rows=dev_rows)
     assert [j["ci"] for j in jobs] == list(range(len(ccs)))
 
+    # dispatch EB/EC right away: the kernels run while the host serializes
+    # chunk metas and builds the layout below (~0.1 s at 64M that would
+    # otherwise sit in front of the device work)
+    launch_out = _run_launch_jit(schema)(*dev_args)
+
     # host bytes: wrapped header + chunk metas (they carry the trained bins)
     w = BitWriter()
     FileCompressor().write_header(w)
@@ -629,8 +694,10 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
         cc.write_meta(mw_)
         m = mw_.to_bytes()
         prefixes.append((wrapped_hdr + m) if ci == 0 else m)
-    if max(len(p) for p in prefixes) > (SB_WORDS * 4) // 2 - 64:
+    if max(len(p) for p in prefixes) > (_sb_words() * 4) // 2 - 64:
         return None  # giant chunk meta (huge dict): keep host assembly
+    if schema.sec_words + 20 > _sb_words():
+        return None  # a merged row could span >1 superblock: host assembly
 
     plt_bits = ccs[0].meta.mode.primary_latent_type(nt.latent).bits
     orders, sls, tss, meta_bytes = [], [], [], []
@@ -693,10 +760,10 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
         avg = float(cc.lvcs.primary.avg_bits_per_latent)
         body_est += npg * layout.meta_bytes[ci2]
         body_est += int(chunk_ns[ci2] * avg * 1.05 / 8) + 8 * npg
-    nsb_ub = int(-(-(-(-body_est // 4)) // SB_WORDS)) + 2
+    nsb_ub = int(-(-(-(-body_est // 4)) // _sb_words())) + 2
 
     return dict(layout=layout, schema=schema, dev_args=dev_args,
-                moments_dev=extras["moments_dev"],
+                launch_out=launch_out, moments_dev=extras["moments_dev"],
                 head_host_words=head_host_words, pfx_words=pfx_words,
                 head_bytes=head_bytes, nt=nt, ccs=ccs, nsb_ub=nsb_ub)
 
@@ -718,7 +785,9 @@ def _run_launch_jit(schema):
     return fn
 
 
-_DEFAULT_CAPS = (32, 32, 8)
+def _default_caps():
+    sc = _caps_scale()
+    return (32 * sc, 8)
 
 
 def run_image(plan, use_pallas: bool = True):
@@ -729,8 +798,10 @@ def run_image(plan, use_pallas: bool = True):
     layout's worst-case superblock count, so it queues right behind prep on
     the device; the guard scalars transfer while it runs and only trigger a
     (rare) redo when the data's row clustering exceeds the defaults."""
-    run = _run_launch_jit(plan["schema"])
-    sections, fstates, ans_len, off_len, total_bits = run(*plan["dev_args"])
+    out = plan.get("launch_out")
+    if out is None:
+        out = _run_launch_jit(plan["schema"])(*plan["dev_args"])
+    sections, fstates, ans_len, off_len, total_bits = out
     prep = _prepare_image(
         plan["layout"], sections, fstates, ans_len, off_len, total_bits,
         plan["moments_dev"], plan["head_host_words"], plan["pfx_words"])
@@ -741,24 +812,27 @@ def run_image(plan, use_pallas: bool = True):
 
     body = None
     if use_pallas:
-        body = stitch_pallas(prep, plan["nsb_ub"], _DEFAULT_CAPS)
+        body = stitch_pallas(prep, plan["nsb_ub"], _default_caps())
 
     guards = np.asarray(prep["guards"])
     body_bytes = int(guards[0])
     nsb = int(guards[2])
-    caps = tuple(_bucket(int(g), (8, 16, 32, 64)) for g in guards[3:6])
+    sc = _caps_scale()
+    caps = tuple(
+        _bucket(int(g), (8 * sc, 16 * sc, 32 * sc, 64 * sc))
+        for g in guards[3:5])
     if use_pallas and all(c_ is not None for c_ in caps):
         if (nsb > plan["nsb_ub"]
-                or any(int(g) > d for g, d in zip(guards[3:6], _DEFAULT_CAPS))):
+                or any(int(g) > d
+                       for g, d in zip(guards[3:5], _default_caps()))):
             body = stitch_pallas(prep, nsb, caps)  # optimistic guess too small
     else:
-        K = _bucket(int(max(guards[6:9])) + 1, (4, 8, 16))
+        K = _bucket(int(max(guards[5:7])) + 1, (4, 8, 16))
         if K is None:
             return None  # pathological row clustering: host assembly
         W_pad = _round_up(max(int(guards[1]), 1), _W_BUCKET)
         body = _stitch_xla(
             prep["rowsA"], prep["F0A"], prep["lenA"],
-            prep["rowsB"], prep["F0B"], prep["lenB"],
             prep["rowsC"], prep["F0C"], prep["lenC"], W_pad=W_pad, K=K)
     return prep["head_words"], body, plan["head_bytes"], body_bytes
 
