@@ -657,11 +657,24 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
     from pcodec_tpu.ops import pallas_encode as pe
     from pcodec_tpu.ops.device_train import plan_encode_device
 
+    import os as _os
+    import time as _time
+    _tr = bool(int(_os.environ.get("PCODEC_TRAIN_TRACE", "0")))
+    _t0 = _time.time()
+
+    def _trace(label):
+        nonlocal _t0
+        if _tr:
+            print(f"    [image] {label}: {_time.time() - _t0:.3f}s",
+                  flush=True)
+        _t0 = _time.time()
+
     extras = {}
     planned = plan_encode_device(nums, config, page_n, chunk_n, extras=extras,
                                  nums_host=nums_host)
     if planned is None or "moments_dev" not in extras:
         return None
+    _trace("train")
     nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
     if len(groups) != 1:
         return None
@@ -678,11 +691,13 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
 
     (schema, jobs, dev_args), = pe._build_launch_args(groups, dev_rows=dev_rows)
     assert [j["ci"] for j in jobs] == list(range(len(ccs)))
+    _trace("launch args")
 
     # dispatch EB/EC right away: the kernels run while the host serializes
     # chunk metas and builds the layout below (~0.1 s at 64M that would
     # otherwise sit in front of the device work)
     launch_out = _run_launch_jit(schema)(*dev_args)
+    _trace("launch dispatch")
 
     # host bytes: wrapped header + chunk metas (they carry the trained bins)
     w = BitWriter()
@@ -694,6 +709,7 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
         cc.write_meta(mw_)
         m = mw_.to_bytes()
         prefixes.append((wrapped_hdr + m) if ci == 0 else m)
+    _trace("prefix serialization")
     if max(len(p) for p in prefixes) > (_sb_words() * 4) // 2 - 64:
         return None  # giant chunk meta (huge dict): keep host assembly
     if schema.sec_words + 20 > _sb_words():
@@ -762,6 +778,7 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
         body_est += int(chunk_ns[ci2] * avg * 1.05 / 8) + 8 * npg
     nsb_ub = int(-(-(-(-body_est // 4)) // _sb_words())) + 2
 
+    _trace("layout+head")
     return dict(layout=layout, schema=schema, dev_args=dev_args,
                 launch_out=launch_out, moments_dev=extras["moments_dev"],
                 head_host_words=head_host_words, pfx_words=pfx_words,

@@ -159,18 +159,37 @@ def _phase_latents(nums_dev, mode_idx, delta_idx, kind, mid, total_rows, page_n)
 
 
 def _gcd_u64(a, b):
-    """Vectorized Euclid on u64 arrays (exact on TPU; integer ops only)."""
+    """Vectorized binary GCD (Stein) on u64 arrays — shifts, subtracts and
+    popcounts only. TPU u64 division is software-emulated, which made the
+    Euclid version the hottest op in the fused stage-1 dispatch (~0.15 s
+    at the 64M bench shapes); exact on TPU (integer ops only)."""
+    one = jnp.uint64(1)
+    z64 = jnp.uint64(0)
+
+    def ctz63(x):
+        # trailing zeros, clamped to 63 so shifts stay defined for x == 0
+        return jnp.minimum(
+            jax.lax.population_count(~x & (x - one)), jnp.uint64(63))
+
+    trivial = (a == 0) | (b == 0)
+    ca = ctz63(a)
+    cb = ctz63(b)
+    shift = jnp.where(trivial, z64, jnp.minimum(ca, cb))
+    x = jnp.where(trivial, one, a >> ca)         # odd
+    y = jnp.where(trivial, z64, b >> cb)         # odd (or 0: loop no-op)
 
     def cond(st):
         return jnp.any(st[1] != 0)
 
     def body(st):
         x, y = st
-        safe = jnp.where(y == 0, jnp.uint64(1), y)
-        return jnp.where(y != 0, y, x), jnp.where(y != 0, x % safe, jnp.uint64(0))
+        small = jnp.minimum(x, y)
+        diff = jnp.maximum(x, y) - small
+        ny = jnp.where(diff == 0, z64, diff >> ctz63(diff))
+        return jnp.where(y == 0, x, small), jnp.where(y == 0, z64, ny)
 
-    a, b = jax.lax.while_loop(cond, body, (a, b))
-    return a
+    x, y = jax.lax.while_loop(cond, body, (x, y))
+    return jnp.where(trivial, a | b, x << shift)
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "m_max", "k"))
@@ -193,7 +212,7 @@ def _phase_int_gcd(mode_s, starts, lens, n_chunks, m_max, k):
     mid = jnp.sum(t, axis=2) - lo - hi
     g = _gcd_u64(mid - lo, hi - lo)
     g = jnp.where(tvalid & (g > 1), g, jnp.uint64(0))
-    gs = jnp.sort(g, axis=1)  # zeros (filtered) sort first
+    gs = jax.lax.sort(g, dimension=1, is_stable=False)  # zeros sort first
     nonzero = gs != 0
     is_start = nonzero & jnp.concatenate(
         [jnp.ones((n_chunks, 1), bool), gs[:, 1:] != gs[:, :-1]], axis=1
@@ -376,7 +395,8 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
     live_col = (col >= order_row[:, None]) & (col < rowlen[:, None])
     sort_in = jnp.where(live_col, out, jnp.uint64(U64_MAX))
     per_chunk = sort_in.reshape(n_chunks, rows_per_chunk * page_n)
-    s = jnp.sort(per_chunk, axis=1)
+    # values only: unstable lax.sort (equal u64 keys are indistinguishable)
+    s = jax.lax.sort(per_chunk, dimension=1, is_stable=False)
 
     v = jnp.take_along_axis(s, extract_idx.astype(jnp.int32), axis=1)
     left = jax.vmap(partial(jnp.searchsorted, side="left"))(s, v)
@@ -853,7 +873,8 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
     each (rows, nb). Mirrors _phase_delta_sort's extract construction."""
     nb = 1 << nb_log
     n_stored = n_stored.astype(jnp.int64)
-    s = jnp.sort(sort_in, axis=1)
+    # values only: unstable lax.sort (equal u64 keys are indistinguishable)
+    s = jax.lax.sort(sort_in, dimension=1, is_stable=False)
     nsafe = jnp.maximum(n_stored, 1)
     j = jnp.arange(nb, dtype=jnp.int64)[None, :]
     ccp = ((j + 1) * n_stored[:, None] + nb - 1) >> nb_log
