@@ -17,7 +17,7 @@ decode reduces to an 8-byte checksum that is fetched to force completion
 host-side and cached — the standalone format requires a host boundary walk
 by design (the wrapped format delegates ranges to outer containers).
 
-Merges results into BENCH_MATRIX_r03.json (existing good entries are kept
+Merges results into BENCH_MATRIX_r04.json (existing good entries are kept
 when a config errors) and exits nonzero if any config errored.
 """
 
@@ -29,7 +29,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pcodec_tpu_jaxcache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".cache", "jax"))
 
 REF = {
     # reference M3 Max 1-core decompress GB/s for flavor-matched data
@@ -47,8 +49,8 @@ REF = {
     "taxi_i64_realistic_ratio": 3.49,
 }
 
-MATRIX_OUT = "BENCH_MATRIX_r03.json"
-BLOB_CACHE = "/tmp/pcodec_matrix_blobs_v1"
+MATRIX_OUT = "BENCH_MATRIX_r04.json"
+BLOB_CACHE = os.path.join(_REPO, ".cache", "bench", "matrix_blobs_v1")
 
 
 def make_configs():
