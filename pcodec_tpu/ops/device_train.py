@@ -61,6 +61,14 @@ _LB_HOST = bool(int(__import__("os").environ.get("PCODEC_LB_HOST", "1")))
 # 1 = full host-native decisions (useful on many-core hosts).
 _HOST_DECIDE = bool(int(__import__("os").environ.get("PCODEC_HOST_DECIDE", "0")))
 
+# Speculative u32 sorts: XLA's u64 sort is the hottest stage-1/phase-2 op
+# (u64 compares are emulated as u32 pairs). When a row's real value span
+# fits 32 bits (device-checked), values sort as u32 relative to the row
+# min — identical sorted VALUES, so bins are exact — and a fits flag rides
+# back with the results; the host redispatches the exact u64 variant for
+# the rare overflowing rows. 0 disables (always u64).
+_SORT32 = bool(int(__import__("os").environ.get("PCODEC_SORT32", "1")))
+
 
 def _prefetch(*arrays):
     """Start async device->host copies so later np.asarray calls hit the
@@ -338,11 +346,11 @@ def _slice_prefix(a, cap):
 
 @partial(jax.jit, static_argnames=("max_order", "n_chunks", "rows_per_chunk",
                                    "page_n", "lat_bits", "has_bases",
-                                   "f_params"))
+                                   "f_params", "sort32"))
 def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
                       max_order, n_chunks, rows_per_chunk, page_n, lat_bits,
                       base_row=None, has_bases=False, fmult_invb_row=None,
-                      f_params=None):
+                      f_params=None, sort32=False):
     """Per-page consecutive delta (vectorized, every order at once), then a
     per-chunk sort of the junk-masked deltas and the batched quantile
     extraction that drives the histogram walk on the host.
@@ -395,20 +403,45 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
     live_col = (col >= order_row[:, None]) & (col < rowlen[:, None])
     sort_in = jnp.where(live_col, out, jnp.uint64(U64_MAX))
     per_chunk = sort_in.reshape(n_chunks, rows_per_chunk * page_n)
-    # values only: unstable lax.sort (equal u64 keys are indistinguishable)
-    s = jax.lax.sort(per_chunk, dimension=1, is_stable=False)
+    nreal64 = nreal[:, None].astype(jnp.int64)
+    if sort32:
+        # u32 keys relative to the chunk min when the real span fits 32
+        # bits (sorted VALUES identical -> extracts/walk exact); fits=0
+        # chunks carry garbage extracts and the host redispatches the u64
+        # variant (see plan_encode_device)
+        m_tot = per_chunk.shape[1]
+        vmin = jnp.min(per_chunk, axis=1, keepdims=True)
+        is_pad_or_max = per_chunk == U64_MAX
+        realmax = jnp.max(
+            jnp.where(is_pad_or_max, vmin, per_chunk), axis=1, keepdims=True)
+        n_max = jnp.sum(is_pad_or_max, axis=1).astype(jnp.int64)
+        fits = (
+            (realmax[:, 0] - vmin[:, 0] <= jnp.uint64(0xFFFFFFFE))
+            & (n_max == (jnp.int64(m_tot) - nreal64[:, 0]))
+        )
+        rel = jnp.where(
+            is_pad_or_max, jnp.uint64(0xFFFFFFFF), per_chunk - vmin
+        ).astype(jnp.uint32)
+        s = jax.lax.sort(rel, dimension=1, is_stable=False)
+        rec = lambda x: vmin + x.astype(jnp.uint64)
+    else:
+        fits = jnp.ones((n_chunks,), bool)
+        # values only: unstable lax.sort (equal u64 keys indistinguishable)
+        s = jax.lax.sort(per_chunk, dimension=1, is_stable=False)
+        rec = lambda x: x
 
     v = jnp.take_along_axis(s, extract_idx.astype(jnp.int32), axis=1)
     left = jax.vmap(partial(jnp.searchsorted, side="left"))(s, v)
     right = jax.vmap(partial(jnp.searchsorted, side="right"))(s, v)
-    # pads are U64_MAX at the tail; clipping right to the real count keeps
-    # run extents exact even when real values equal U64_MAX
-    right = jnp.minimum(right.astype(jnp.int64), nreal[:, None].astype(jnp.int64))
+    # pads sort at the tail; clipping right to the real count keeps
+    # run extents exact even when real values equal the pad key
+    right = jnp.minimum(right.astype(jnp.int64), nreal64)
     sl1 = jnp.take_along_axis(s, jnp.maximum(left - 1, 0).astype(jnp.int32), axis=1)
-    sr_idx = jnp.clip(jnp.minimum(right, nreal[:, None] - 1), 0, s.shape[1] - 1)
+    sr_idx = jnp.clip(jnp.minimum(right, nreal64 - 1), 0, s.shape[1] - 1)
     sr = jnp.take_along_axis(s, sr_idx.astype(jnp.int32), axis=1)
-    s0 = s[:, 0]
-    return out, moments, v, left, right, sl1, sr, s0
+    s0 = rec(s[:, 0:1])[:, 0]
+    return (out, moments, rec(v), left, right, rec(sl1), rec(sr), s0,
+            fits.astype(jnp.uint32))
 
 
 _GCD_K = 256  # unique-GCD slots per chunk fetched from device
@@ -867,15 +900,38 @@ def _fetch_packed_bins(dense_d, nbn_d):
     return out
 
 
-def _extracts_and_walk(sort_in, n_stored, nb_log):
+def _extracts_and_walk(sort_in, n_stored, nb_log, sort32=False):
     """Masked values (rows, m; pads = U64 MAX) -> sort -> quantile extracts
-    -> device walk. Returns (counts u32, lowers u64, uppers u64, n_bins i32),
-    each (rows, nb). Mirrors _phase_delta_sort's extract construction."""
+    -> device walk. Returns (counts u32, lowers u64, uppers u64, n_bins i32,
+    fits u32), each (rows, nb) / (rows,). Mirrors _phase_delta_sort's
+    extract construction.
+
+    sort32: sort u32 keys relative to the row min when the row's real span
+    fits 32 bits (sorted VALUES are identical, so the walk is exact);
+    fits=0 rows carry garbage bins and must be redone with sort32=False.
+    With sort32=False fits is all-ones."""
     nb = 1 << nb_log
+    rows, m = sort_in.shape
     n_stored = n_stored.astype(jnp.int64)
-    # values only: unstable lax.sort (equal u64 keys are indistinguishable)
-    s = jax.lax.sort(sort_in, dimension=1, is_stable=False)
-    nsafe = jnp.maximum(n_stored, 1)
+    if sort32:
+        vmin = jnp.min(sort_in, axis=1, keepdims=True)  # pads are U64_MAX
+        is_pad_or_max = sort_in == U64_MAX
+        realmax = jnp.max(
+            jnp.where(is_pad_or_max, vmin, sort_in), axis=1, keepdims=True)
+        n_max = jnp.sum(is_pad_or_max, axis=1).astype(jnp.int64)
+        fits = (
+            (realmax[:, 0] - vmin[:, 0] <= jnp.uint64(0xFFFFFFFE))
+            & (n_max == (jnp.int64(m) - n_stored))
+        )
+        rel = jnp.where(
+            is_pad_or_max, jnp.uint64(0xFFFFFFFF), sort_in - vmin
+        ).astype(jnp.uint32)
+        s = jax.lax.sort(rel, dimension=1, is_stable=False)
+        rec = lambda x: vmin[:, 0][:, None] + x.astype(jnp.uint64)
+    else:
+        fits = jnp.ones((rows,), bool)
+        s = jax.lax.sort(sort_in, dimension=1, is_stable=False)
+        rec = lambda x: x
     j = jnp.arange(nb, dtype=jnp.int64)[None, :]
     ccp = ((j + 1) * n_stored[:, None] + nb - 1) >> nb_log
     eidx = jnp.clip(ccp - 1, 0, jnp.maximum(n_stored[:, None] - 1, 0)).astype(jnp.int32)
@@ -887,19 +943,20 @@ def _extracts_and_walk(sort_in, n_stored, nb_log):
     sr_idx = jnp.clip(jnp.minimum(right, n_stored[:, None] - 1), 0, s.shape[1] - 1)
     sr = jnp.take_along_axis(s, sr_idx.astype(jnp.int32), axis=1)
     co, lo, up, nbn = _walk_bins_device(
-        v, left.astype(jnp.int64), right, sl1, sr, s[:, 0], n_stored, nb_log
+        rec(v), left.astype(jnp.int64), right, rec(sl1), rec(sr),
+        rec(s[:, 0:1])[:, 0], n_stored, nb_log
     )
-    return co.astype(jnp.uint32), lo, up, nbn
+    return co.astype(jnp.uint32), lo, up, nbn, fits.astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=(
     "n_chunks", "m_max", "max_order", "nb_log", "lat_bits", "window_n_log",
-    "cands", "has_bases", "min_order", "f_params", "pack32"))
+    "cands", "has_bases", "min_order", "f_params", "pack32", "sort32"))
 def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
                             nb_log, lat_bits, window_n_log,
                             cands="orders+lookback", bases=None, has_bases=False,
                             min_order=0, fmult_invb=None, f_params=None,
-                            pack32=False):
+                            pack32=False, sort32=False):
     """Histogram bins for auto-delta candidates, reduced on device.
 
     cands selects the candidate rows: "orders" = noop + consecutive
@@ -964,10 +1021,12 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
         n_cand = len(rows)
         sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
         n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
-        co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
+        co, lo, up, nbn, sfits = _extracts_and_walk(
+            sort_in, n_stored, nb_log, sort32=sort32)
         if pack32:
             d32, base, fits = _pack_bins_dense32(co, lo, up, nbn)
-            return (d32, base, fits, _pack_bins_dense(co, lo, up, nbn)), nbn
+            return (d32, base, fits, _pack_bins_dense(co, lo, up, nbn),
+                    sfits), nbn
         return _pack_bins_dense(co, lo, up, nbn), nbn
     lbs = _choose_lookbacks_device(sm, lens, lat_bits, window_n_log, 1)
     lb_full = jnp.concatenate(
@@ -990,7 +1049,7 @@ def _phase_delta_candidates(delta_s, starts, lens, n_chunks, m_max, max_order,
     n_cand = len(rows)  # orders+lookback: max_order + 3; lookback: 2
     sort_in = jnp.stack(rows, axis=1).reshape(n_chunks * n_cand, m_max)
     n_stored = jnp.stack(n_stored_rows, axis=1).reshape(n_chunks * n_cand)
-    co, lo, up, nbn = _extracts_and_walk(sort_in, n_stored, nb_log)
+    co, lo, up, nbn, _ = _extracts_and_walk(sort_in, n_stored, nb_log)
     return _pack_bins_dense(co, lo, up, nbn), nbn
 
 
@@ -1040,10 +1099,10 @@ def _phase_lookback(lat2d_sel, rowlen_sel, nreal_prim, nreal_lb,
     lb_sort = jnp.where(lb_body, lb_u64, jnp.uint64(U64_MAX))
     states = rows[:, :state_n]
 
-    co_p, lo_p, up_p, nbn_p = _extracts_and_walk(
+    co_p, lo_p, up_p, nbn_p, _ = _extracts_and_walk(
         prim_sort.reshape(n_chunks, rows_per_chunk * page_n), nreal_prim, nb_log
     )
-    co_d, lo_d, up_d, nbn_d = _extracts_and_walk(
+    co_d, lo_d, up_d, nbn_d, _ = _extracts_and_walk(
         lb_sort.reshape(n_chunks, rows_per_chunk * page_n), nreal_lb, nb_log
     )
     return (prim_rows, lb_rows, states,
@@ -1088,14 +1147,14 @@ def _phase_secondary(lat2d, row_sel, base_row, flip_row, rowlen, n_stored,
     sort_in = jnp.where(live, sec, U64_MAX).reshape(
         n_chunks, rows_per_chunk * page_n
     )
-    co, lo, up, nbn = _extracts_and_walk(
+    co, lo, up, nbn, _ = _extracts_and_walk(
         sort_in, n_stored.astype(jnp.int64), nb_log
     )
     return sec, _pack_bins_dense(co, lo, up, nbn), nbn
 
 
 @partial(jax.jit, static_argnames=("nb_log",))
-def _phase_walk(V, L, R, SL1, SR, S0, nreal, sel, nb_log):
+def _phase_walk(V, L, R, SL1, SR, S0, nreal, sel, nb_log, sort_fits=None):
     """Walk selected chunk lanes at one nb_log; extracts stay device-side.
     Returns (packed u32 buffer [n_bins (lanes) | base lo32 | base hi32 |
     fits | dense32 (cap, 3) flat] — one small fetch through the MB/s
@@ -1109,9 +1168,11 @@ def _phase_walk(V, L, R, SL1, SR, S0, nreal, sel, nb_log):
     co = co.astype(jnp.uint32)
     d32, base, fits = _pack_bins_dense32(co, lo, up, nbn)
     m32 = jnp.uint64(0xFFFFFFFF)
+    sf = (jnp.ones((sel.shape[0],), jnp.uint32) if sort_fits is None
+          else sort_fits[sel].astype(jnp.uint32))
     buf = jnp.concatenate([
         nbn.astype(jnp.uint32), (base & m32).astype(jnp.uint32),
-        (base >> jnp.uint64(32)).astype(jnp.uint32), fits,
+        (base >> jnp.uint64(32)).astype(jnp.uint32), fits, sf,
         d32.reshape(-1),
     ])
     return buf, _pack_bins_dense(co, lo, up, nbn)
@@ -1122,11 +1183,11 @@ STAGE1_ORDERS = 2  # candidate orders evaluated in the fused first dispatch
 
 @partial(jax.jit, static_argnames=(
     "kind", "mid", "total_rows", "page_n", "int_auto", "gcd_m_max",
-    "cand_meta", "lat_bits", "fetch_mode_s"))
+    "cand_meta", "lat_bits", "fetch_mode_s", "sort32"))
 def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
                   cand_starts, cand_lens, kind, mid, total_rows, page_n,
                   int_auto, gcd_m_max, cand_meta, lat_bits,
-                  fetch_mode_s=False):
+                  fetch_mode_s=False, sort32=False):
     """One fused dispatch for everything the first host round trip needs:
     bijection + sample gathers, IntMult GCD screening, and the stage-1
     auto-delta candidate histograms (orders 0..STAGE1_ORDERS — the chain
@@ -1160,14 +1221,14 @@ def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
                   nuniq.astype(jnp.uint32)]
     pos = 0
     for (g_n, g_m, g_nb) in cand_meta:
-        (d32, gbase, gfits, d64), nbn = _phase_delta_candidates(
+        (d32, gbase, gfits, d64, sfits), nbn = _phase_delta_candidates(
             delta_s, cand_starts[pos : pos + g_n], cand_lens[pos : pos + g_n],
             n_chunks=g_n, m_max=g_m, max_order=STAGE1_ORDERS,
             nb_log=g_nb, lat_bits=lat_bits, window_n_log=4,
-            cands="orders", pack32=True,
+            cands="orders", pack32=True, sort32=sort32,
         )
         parts += [nbn.astype(jnp.uint32)] + _split64(gbase) + [
-            gfits, d32.reshape(-1)]
+            gfits, sfits, d32.reshape(-1)]
         d64_handles.append(d64)
         pos += g_n
     if fetch_mode_s:
@@ -1182,7 +1243,7 @@ def _phase_stage1(nums_dev, mode_idx, delta_idx, gcd_starts, gcd_lens,
 
 
 def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
-                          flip_cis=frozenset(), fmult_map=None):
+                          flip_cis=frozenset(), fmult_map=None, sort32=False):
     """Dispatch phase B (delta + sort + extracts) + the secondary-var
     phase (IntMult % base / FloatQuant low-bit flip / FloatMult softfloat
     adjustment) + the phase-C walk from a (orders, live set, bases, flips,
@@ -1226,7 +1287,8 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
             base_kw, fmult_invb_row=jnp.asarray(invb_row_np),
             f_params=f_params,
         )
-    dev_rows, moments_dev, V, L, R, SL1, SR, S0 = _phase_delta_sort(
+    (dev_rows, moments_dev, V, L, R, SL1, SR, S0,
+     sort_fits_d) = _phase_delta_sort(
         lat2d,
         jnp.asarray(order_row),
         jnp.asarray(rowlen),
@@ -1237,6 +1299,7 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
         rows_per_chunk=rows_per_chunk,
         page_n=page_n,
         lat_bits=lat_bits,
+        sort32=sort32,
         **base_kw,
     )
 
@@ -1305,12 +1368,14 @@ def _dispatch_phase2_impl(ctx, orders_a, live_a, bases_map,
         buf_w, d64_w = _phase_walk(
             V, L, R, SL1, SR, S0, jnp.asarray(nreal),
             jnp.asarray(np.array(lanes, dtype=np.int32)), nb_log=ubl_val,
+            sort_fits=sort_fits_d,
         )
         hist_handles.append((lanes, buf_w, d64_w))
     return {
         "dev_rows": dev_rows, "moments_dev": moments_dev, "nreal": nreal,
         "sec_handles": sec_handles, "sec_row_of": sec_row_of,
         "sec_rows_dev": sec_rows_dev, "hist_handles": hist_handles,
+        "sort32": sort32, "sort_fits_d": sort_fits_d,
     }
 
 
@@ -1679,6 +1744,14 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     gcd_lens = np.array([m for _, m in mode_spans], np.int32)
     gcd_m_max = int(gcd_lens.max()) if n_chunks else 0
     int_auto_eff = is_int_auto and gcd_m_max >= 3 and not host_decide
+    # when the caller owns the host array, the IntMult screening runs in a
+    # host thread on the same samples (choose_base_from_sample — the exact
+    # host-parity path the device screening's overflow fallback already
+    # uses) and OVERLAPS the stage-1 fetch wait, cutting the GCD phase
+    # (~0.14 s at 64M) out of the fused device dispatch entirely
+    host_gcd = int_auto_eff and nums_host is not None
+    if host_gcd:
+        int_auto_eff = False
 
     dec_groups: Dict[int, list] = {}
     if is_delta_auto and not host_decide:
@@ -1696,6 +1769,22 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         cand_meta.append((len(cis), int(lens_g.max()), ubl_g))
         pos += len(cis)
 
+    hint_key = (
+        tuple(chunk_ns), page_n, str(np.dtype(nums.dtype)), level,
+        config.mode_spec.kind, getattr(config.mode_spec, "value", None),
+        config.delta_spec.kind,
+        config.delta_spec.order, config.enable_8_bit,
+    )
+    _prev_hint = _SPEC_HINTS.get(hint_key)
+    # speculative u32 sorts: int-kind value spans almost always fit 32
+    # bits after delta; float latents spread over the full 64 bits, so
+    # they keep the u64 sort. A previous overflow for this layout makes
+    # the choice sticky-exact (sort32_ok=False in the hint).
+    sort32_on = (
+        _SORT32 and not host_decide and nt.kind != "float" and not is_dict
+        and (_prev_hint is None or _prev_hint.get("sort32_ok", True))
+    )
+
     lat2d, mode_s_dev, delta_s_dev, buf_d, stage1_d64s = _phase_stage1(
         nums_dev, mode_idx_dev, delta_idx_dev,
         jnp.asarray(gcd_starts), jnp.asarray(gcd_lens),
@@ -1704,12 +1793,31 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         mid=0 if is_dict else int(nt.latent.mid), total_rows=total_rows,
         page_n=page_n, int_auto=int_auto_eff, gcd_m_max=gcd_m_max,
         cand_meta=tuple(cand_meta), lat_bits=plt.bits,
-        fetch_mode_s=is_float_auto,
+        fetch_mode_s=is_float_auto, sort32=sort32_on,
     )
     _t0 = _trace("stage1 dispatch", _t0)
 
 
     import threading
+
+    gcd_box: Dict[int, int] = {}
+    gcd_thread = None
+    if host_gcd:
+        starts_hg = np.concatenate([[0], np.cumsum(chunk_ns)[:-1]])
+
+        def _host_gcd_all():
+            for ci_g, cn_g in enumerate(chunk_ns):
+                mi_g = idx_cache.get(cn_g)
+                if mi_g is None or len(mi_g) == 0:
+                    continue
+                cnums = nums_host[starts_hg[ci_g] : starts_hg[ci_g] + cn_g]
+                s_lat = nt.to_latent_ordered(cnums[mi_g])
+                b_g = int_mult.choose_base_from_sample(s_lat)
+                if b_g is not None:
+                    gcd_box[ci_g] = int(b_g)
+
+        gcd_thread = threading.Thread(target=_host_gcd_all)
+        gcd_thread.start()
 
     # speculative phase 2: dispatch B/C from the previous same-shaped
     # plan's decisions so their device compute overlaps the decision round
@@ -1720,16 +1828,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     )
     ph2_ctx = (ubls, chunk_ns, pages_per_chunk, rows_per_chunk, total_rows,
                page_n, n_chunks, lat2d, rowlen, plt.bits, f_params)
-    hint_key = (
-        tuple(chunk_ns), page_n, str(np.dtype(nums.dtype)), level,
-        config.mode_spec.kind, getattr(config.mode_spec, "value", None),
-        config.delta_spec.kind,
-        config.delta_spec.order, config.enable_8_bit,
-    )
     # speculation works for host_decide too: phase 2 dispatches from the
     # previous plan's decisions and overlaps the HOST decision math; the
     # real decisions below validate it before any result is consumed
-    spec_hint = _SPEC_HINTS.get(hint_key)
+    spec_hint = _prev_hint
 
     def _split_kw_from(cis, bases_map, fm_map):
         """Per-chunk primary-transform kwargs for _phase_delta_candidates
@@ -1778,7 +1880,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     if spec_hint is not None:
         spec_ph2 = _dispatch_phase2_impl(
             ph2_ctx, spec_hint["orders"], spec_hint["live"], spec_hint["bases"],
-            spec_hint["flips"], spec_hint["fmult"],
+            spec_hint["flips"], spec_hint["fmult"], sort32=sort32_on,
         )
 
     # ---- host-native decisions (see host_decide above); they overlap
@@ -1966,7 +2068,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         off += n_chunks
         gcd_np = (g_vals, g_cnts, g_nuniq)
     cand_bins_by_ci: Dict[int, list] = {}
+    sort32_failed = False
     pos = 0
+    gpos = 0
     for gi_g, ((g_n, g_m, g_nb), (ubl_g, cis)) in enumerate(
             zip(cand_meta, groups_list)):
         rows = g_n * n_cand1
@@ -1978,11 +2082,28 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         off += rows
         gfits = buf[off : off + rows]
         off += rows
+        gsfits = buf[off : off + rows]
+        off += rows
         cap = rows * (1 << g_nb) * 3
         dense32 = buf[off : off + cap].reshape(rows * (1 << g_nb), 3)
         off += cap
-        per_row = _unpack_bins32(
-            nbn, b_lo | (b_hi << 32), gfits, dense32, stage1_d64s[gi_g])
+        if gsfits.all():
+            per_row = _unpack_bins32(
+                nbn, b_lo | (b_hi << 32), gfits, dense32, stage1_d64s[gi_g])
+        else:
+            # a row's value span overflowed the speculative u32 sort:
+            # redo this group's candidate bins exactly (u64 sort)
+            sort32_failed = True
+            dense_r, nbn_r = _phase_delta_candidates(
+                delta_s_dev,
+                jnp.asarray(cand_starts[gpos : gpos + g_n]),
+                jnp.asarray(cand_lens_np[gpos : gpos + g_n]),
+                n_chunks=g_n, m_max=g_m, max_order=STAGE1_ORDERS,
+                nb_log=g_nb, lat_bits=plt.bits, window_n_log=4,
+                cands="orders",
+            )
+            per_row = _fetch_packed_bins(dense_r, nbn_r)
+        gpos += g_n
         for k, ci in enumerate(cis):
             lst = []
             dn_ci = int(cand_lens_np[pos + k])
@@ -2009,6 +2130,10 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             (gcd_np, gcd_starts, gcd_lens, gcd_m_max), mode_s_dev, chunk_ns, lt
         )
         _t0 = _trace("gcd scoring", _t0)
+    elif gcd_thread is not None:
+        gcd_thread.join()
+        int_bases.update(gcd_box)
+        _t0 = _trace("gcd scoring (host thread)", _t0)
 
     # ---- mode routing: every auto-mode winner stays on device. IntMult /
     # FloatQuant split via integer division; FloatMult splits via the
@@ -2310,13 +2435,16 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     ph2 = (
         spec_ph2 if use_spec
         else _dispatch_phase2_impl(ph2_ctx, orders, live, prim_bases,
-                                   frozenset(quant_ks), fmult_map)
+                                   frozenset(quant_ks), fmult_map,
+                                   sort32=sort32_on)
     )
     _SPEC_HINTS[hint_key] = {
         "orders": orders.copy(), "live": live.copy(),
         "bases": dict(prim_bases), "flips": frozenset(quant_ks),
         "fmult": dict(fmult_map),
         "lb_q": {k: list(v) for k, v in lb_q.items()},
+        "sort32_ok": ((_prev_hint or {}).get("sort32_ok", True)
+                      and not sort32_failed),
     }
     if len(_SPEC_HINTS) > 16:
         _SPEC_HINTS.clear()
@@ -2474,17 +2602,41 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
     _t0 = _trace("moments+walk join", _t0)
 
+    def _walk_parse(wb, n_lanes):
+        return (wb[:n_lanes].astype(np.int64),
+                wb[n_lanes : 2 * n_lanes].astype(np.uint64)
+                | (wb[2 * n_lanes : 3 * n_lanes].astype(np.uint64) << 32),
+                wb[3 * n_lanes : 4 * n_lanes],
+                wb[4 * n_lanes : 5 * n_lanes],
+                wb[5 * n_lanes :].reshape(-1, 3))
+
+    # speculative-u32 full-array sort check: a chunk whose span overflowed
+    # carries garbage extracts -> redo phase 2 exactly and refetch (rare;
+    # the layout hint then pins sort32 off for subsequent plans)
+    if ph2["sort32"] and not all(
+            _walk_parse(fetch_box[f"w{gi}"], len(lanes))[3].all()
+            for gi, (lanes, _b, _d) in enumerate(hist_handles)):
+        _SPEC_HINTS[hint_key]["sort32_ok"] = False
+        ph2 = _dispatch_phase2_impl(ph2_ctx, orders, live, prim_bases,
+                                    frozenset(quant_ks), fmult_map,
+                                    sort32=False)
+        dev_rows = ph2["dev_rows"]
+        moments_dev = ph2["moments_dev"]
+        nreal = ph2["nreal"]
+        sec_handles = ph2["sec_handles"]
+        sec_row_of = ph2["sec_row_of"]
+        sec_rows_dev = ph2["sec_rows_dev"]
+        hist_handles = ph2["hist_handles"]
+        if extras is not None:
+            extras["moments_dev"] = moments_dev
+        for gi, (lanes, buf_w, _d) in enumerate(hist_handles):
+            fetch_box[f"w{gi}"] = np.asarray(buf_w)
+
     hist_bins: Dict[int, list] = {}
     for gi, (lanes, buf_w, d64_w) in enumerate(hist_handles):
-        wb = fetch_box[f"w{gi}"]
-        L_w = len(lanes)
-        nbn_w = wb[:L_w].astype(np.int64)
-        wb_lo = wb[L_w : 2 * L_w].astype(np.uint64)
-        wb_hi = wb[2 * L_w : 3 * L_w].astype(np.uint64)
-        fits_w = wb[3 * L_w : 4 * L_w]
-        dense32_w = wb[4 * L_w :].reshape(-1, 3)
-        per_row = _unpack_bins32(
-            nbn_w, wb_lo | (wb_hi << 32), fits_w, dense32_w, d64_w)
+        nbn_w, base_w, fits_w, _sf_w, dense32_w = _walk_parse(
+            fetch_box[f"w{gi}"], len(lanes))
+        per_row = _unpack_bins32(nbn_w, base_w, fits_w, dense32_w, d64_w)
         for k, ci in enumerate(lanes):
             hist_bins[ci] = per_row[k]
     sec_bins: Dict[int, tuple] = {}
