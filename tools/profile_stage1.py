@@ -71,13 +71,14 @@ def main():
         dt._phase_int_gcd, n_chunks=N_CHUNKS, m_max=M, k=dt._GCD_K))
     bench("int_gcd screening", gcd_fn, mode_s, starts, lens)
 
-    cand_fn = jax.jit(partial(
-        dt._phase_delta_candidates, n_chunks=N_CHUNKS, m_max=M,
-        max_order=dt.STAGE1_ORDERS, nb_log=8, lat_bits=64,
-        window_n_log=4, cands="orders", pack32=True))
-    (d32, base, fits, d64), nbn = bench(
-        "delta candidates (3x sample sort+walk)", cand_fn,
-        delta_s, starts, lens)
+    for s32 in (False, True):
+        cand_fn = jax.jit(partial(
+            dt._phase_delta_candidates, n_chunks=N_CHUNKS, m_max=M,
+            max_order=dt.STAGE1_ORDERS, nb_log=8, lat_bits=64,
+            window_n_log=4, cands="orders", pack32=True, sort32=s32))
+        (d32, base, fits, d64, sf), nbn = bench(
+            f"delta candidates sort32={s32}", cand_fn,
+            delta_s, starts, lens)
 
     # pure transfer: distinct buffers the size of the stage-1 packed buf
     # (np.asarray caches per-array, so each fetch needs a fresh array)
