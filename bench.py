@@ -116,12 +116,19 @@ def make_data():
 # Unset = reference-equivalent training. See ChunkConfig.ans_size_log_cap.
 ANS_CAP = os.environ.get("PCODEC_BENCH_ANS_CAP")
 ANS_CAP = int(ANS_CAP) if ANS_CAP else None
-# encode-train A/B: bigger chunks = fewer per-chunk host decisions/metas
-CHUNK_N = int(os.environ.get("PCODEC_BENCH_CHUNK_N", str(1 << 20)))
+# Encode chunk size (TPU profile): bigger chunks amortize per-chunk host
+# decisions/metas/fetches. Measured 2026-08-20 (warm, 64M taxi): 1M
+# 0.379 GB/s, 2M 0.444, 4M 0.412 — 2M is the default. The reference CLI's
+# own default chunk_n is 2^18 (pco_cli chunk_config_opt.rs), so this is an
+# encoder-config choice, reported via ratio + byte-compared below. The
+# decode leg keeps the 1M-chunk file for cross-round comparability.
+CHUNK_N = int(os.environ.get("PCODEC_BENCH_CHUNK_N", str(2 << 20)))
 
 
-def get_compressed(nums):
+def get_compressed(nums, chunk_n=1 << 20):
     tag = f"{len(nums)}-pct-a{ANS_CAP}" if ANS_CAP else f"{len(nums)}-pct"
+    if chunk_n != 1 << 20:
+        tag += f"-c{chunk_n}"
     key = hashlib.sha256(nums[:1000].tobytes() + tag.encode()).hexdigest()[:16]
     for base in (CACHE, LEGACY_CACHE):
         path = f"{base}_{key}_p1024.pct"
@@ -133,7 +140,7 @@ def get_compressed(nums):
 
     cfg = ChunkConfig(ans_size_log_cap=ANS_CAP) if ANS_CAP else None
     t0 = time.time()
-    data = container_compress(nums, cfg)
+    data = container_compress(nums, cfg, chunk_n=chunk_n)
     dt = time.time() - t0
     with open(f"{CACHE}_{key}_p1024.pct", "wb") as f:
         f.write(data)
@@ -288,14 +295,20 @@ def main():
     _stage("encode_compile")
     (tr0, dev0), out = encode_once()  # compile warmup
     encode_bit_exact = False
-    if out is not None and CHUNK_N == 1 << 20 and ANS_CAP is None:
-        # one-time untimed byte compare: the image must equal the exact
-        # file the decode leg runs on (same data, same params)
-        _stage("encode_bit_exact (image readback)")
+    if out is not None and ANS_CAP is None:
+        # one-time untimed byte compare against the host encoder's exact
+        # file at the SAME chunk size (cached after the first run)
+        _stage("encode_bit_exact (host-encoder oracle + image readback)")
+        expect, enc_compress_secs = (
+            (data, 0.0) if CHUNK_N == 1 << 20
+            else get_compressed(nums, CHUNK_N))
         img = assemble.file_image_to_bytes(*out)
-        encode_bit_exact = img == data
+        encode_bit_exact = img == expect
         assert encode_bit_exact, "device file image differs from host encoder!"
         RESULT["extra"]["encode_bit_exact_bytes"] = True
+        RESULT["extra"]["encode_chunk_n"] = CHUNK_N
+        RESULT["extra"]["encode_ratio"] = round(
+            nums.nbytes / len(expect), 3)
     _stage("encode_timing")
     train_secs = 0.0
     encode_wall = 9e9
