@@ -1785,19 +1785,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         and (_prev_hint is None or _prev_hint.get("sort32_ok", True))
     )
 
-    lat2d, mode_s_dev, delta_s_dev, buf_d, stage1_d64s = _phase_stage1(
-        nums_dev, mode_idx_dev, delta_idx_dev,
-        jnp.asarray(gcd_starts), jnp.asarray(gcd_lens),
-        jnp.asarray(cand_starts), jnp.asarray(cand_lens_np),
-        kind="unsigned" if is_dict else nt.kind,
-        mid=0 if is_dict else int(nt.latent.mid), total_rows=total_rows,
-        page_n=page_n, int_auto=int_auto_eff, gcd_m_max=gcd_m_max,
-        cand_meta=tuple(cand_meta), lat_bits=plt.bits,
-        fetch_mode_s=is_float_auto, sort32=sort32_on,
-    )
-    _t0 = _trace("stage1 dispatch", _t0)
-
-
     import threading
 
     gcd_box: Dict[int, int] = {}
@@ -1818,6 +1805,18 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
 
         gcd_thread = threading.Thread(target=_host_gcd_all)
         gcd_thread.start()
+
+    lat2d, mode_s_dev, delta_s_dev, buf_d, stage1_d64s = _phase_stage1(
+        nums_dev, mode_idx_dev, delta_idx_dev,
+        jnp.asarray(gcd_starts), jnp.asarray(gcd_lens),
+        jnp.asarray(cand_starts), jnp.asarray(cand_lens_np),
+        kind="unsigned" if is_dict else nt.kind,
+        mid=0 if is_dict else int(nt.latent.mid), total_rows=total_rows,
+        page_n=page_n, int_auto=int_auto_eff, gcd_m_max=gcd_m_max,
+        cand_meta=tuple(cand_meta), lat_bits=plt.bits,
+        fetch_mode_s=is_float_auto, sort32=sort32_on,
+    )
+    _t0 = _trace("stage1 dispatch", _t0)
 
     # speculative phase 2: dispatch B/C from the previous same-shaped
     # plan's decisions so their device compute overlaps the decision round
