@@ -280,6 +280,11 @@ def main():
     cfg = (None if ANS_CAP is None else
            __import__("pcodec_tpu").ChunkConfig(ans_size_log_cap=ANS_CAP))
 
+    # jitted completion force: an eager astype/astype/sum chain costs 3
+    # dispatch round trips (~26 ms floor each) through the tunnel per call
+    _force = jax.jit(lambda x: jnp.sum(
+        x.astype(jnp.uint32).astype(jnp.uint64)).reshape(1))
+
     def encode_once():
         t0 = time.perf_counter()
         plan = assemble.plan_image(nums_dev, cfg, 1024, CHUNK_N, nums_host=nums)
@@ -288,7 +293,7 @@ def main():
         out = assemble.run_image(plan, use_pallas=True)
         assert out is not None, "stitch guards tripped on headline data"
         head, body_dev, hb, bb = out
-        int(jnp.sum(body_dev.astype(jnp.uint32).astype(jnp.uint64))[None][0])
+        int(_force(body_dev)[0])
         t2 = time.perf_counter()
         return (t1 - t0, t2 - t1), out
 

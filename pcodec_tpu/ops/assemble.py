@@ -605,6 +605,20 @@ def _stitch_pass(rowsA, F0A, lenA, rowsC, F0C, lenC,
     return out.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("sb",))
+def _merge_passes(p0, p1, sb):
+    # eager at[].set + | + bitcast would cost several dispatch round trips
+    # (~26 ms floor each) per stitch through the tunnel
+    n1 = min(p1.shape[0], p0.shape[0] - sb)
+    out = p0.at[sb:sb + n1].set(p0[sb:sb + n1] | p1[:n1])
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+
+@jax.jit
+def _bitcast_u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
 def stitch_pallas(prep, nsb: int, caps: tuple):
     """Two-pass stitch. Returns (ceil(nsb/2)*2*SB,) uint32 body."""
     SB = _sb_words()
@@ -613,16 +627,13 @@ def stitch_pallas(prep, nsb: int, caps: tuple):
     p0 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"],
                       a["rowsC"], a["F0C"], a["lenC"],
                       nsteps=nsteps0, parity=0, caps=caps)
-    out = p0
     nsteps1 = nsb // 2
     if nsteps1 > 0:
         p1 = _stitch_pass(a["rowsA"], a["F0A"], a["lenA"],
                           a["rowsC"], a["F0C"], a["lenC"],
                           nsteps=nsteps1, parity=1, caps=caps)
-        n1 = min(p1.shape[0], out.shape[0] - SB)
-        out = out.at[SB:SB + n1].set(
-            out[SB:SB + n1] | p1[:n1])
-    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+        return _merge_passes(p0, p1, sb=SB)
+    return _bitcast_u32(p0)
 
 
 # ---------------------------------------------------------------------------
