@@ -19,6 +19,7 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".cache", "jax"))
 
 N = (int(sys.argv[1]) if len(sys.argv) > 1 else 64) * 1024 * 1024
+CHUNK_N = int(os.environ.get("PCODEC_BENCH_CHUNK_N", str(2 << 20)))
 
 
 def main():
@@ -47,7 +48,7 @@ def main():
     def run_once(staged):
         t = {}
         t0 = time.perf_counter()
-        plan = assemble.plan_image(nums_dev, None, 1024, 1 << 20,
+        plan = assemble.plan_image(nums_dev, None, 1024, CHUNK_N,
                                    nums_host=nums)
         assert plan is not None
         t["plan"] = time.perf_counter() - t0
