@@ -67,11 +67,16 @@ _EMITTED = False
 
 
 def _emit_and_exit(tag):
-    """Print the single JSON line (exactly once) and hard-exit."""
+    """Print the single JSON line (exactly once) and hard-exit.
+
+    Exit code: 0 only for a complete run ("done"); failure/abort tags
+    (tunnel/deadline/signal*) exit 2 so drivers keying on rc see the
+    difference while still getting the JSON line."""
     global _EMITTED
+    rc = 0 if tag == "done" else 2
     with _EMIT_LOCK:
         if _EMITTED:
-            os._exit(0)
+            os._exit(rc)
         _EMITTED = True
         if RESULT["value"] == 0.0:
             RESULT["extra"]["incomplete"] = tag
@@ -79,7 +84,7 @@ def _emit_and_exit(tag):
             RESULT["extra"]["partial"] = tag
         sys.stdout.write(json.dumps(RESULT) + "\n")
         sys.stdout.flush()
-    os._exit(0)
+    os._exit(rc)
 
 
 def _stage(name):

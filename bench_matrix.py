@@ -17,7 +17,7 @@ decode reduces to an 8-byte checksum that is fetched to force completion
 host-side and cached — the standalone format requires a host boundary walk
 by design (the wrapped format delegates ranges to outer containers).
 
-Merges results into BENCH_MATRIX_r04.json (existing good entries are kept
+Merges results into BENCH_MATRIX_r05.json (existing good entries are kept
 when a config errors) and exits nonzero if any config errored.
 """
 
@@ -47,9 +47,18 @@ REF = {
     # (columnar_mbp_m3_max_rust1_89.csv); this config is tuned to land near
     # that ratio so the headline's 8.9x synthetic has a fair-ratio sibling
     "taxi_i64_realistic_ratio": 3.49,
+    # closest published reference number for an LPC-friendly float-ish
+    # signal: fcbench f32_acs_wht decompress 1.45 GB/s (Xeon 8488C,
+    # fcbench_intel_xeon_platinum_8488c_rust1_88.csv:20); the reference
+    # publishes no conv1-specific number (conv1 is its slow path too,
+    # pco/src/delta/conv1.rs:191-233)
+    "conv1_i32_lpc": 1.45,
+    # no published dict-specific reference number; taxi-class CPU core
+    # figure used as the comparison anchor (same as dict_i64)
+    "dict_i64_100k": 3.49,
 }
 
-MATRIX_OUT = "BENCH_MATRIX_r04.json"
+MATRIX_OUT = "BENCH_MATRIX_r05.json"
 BLOB_CACHE = os.path.join(_REPO, ".cache", "bench", "matrix_blobs_v1")
 
 
@@ -100,6 +109,32 @@ def make_configs():
     cfgs["dict_i64"] = (
         vals[rng.integers(0, 4, n2)],
         ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)), "pct",
+    )
+
+    # 100k-entry dictionary with UNIFORM indices — the worst case for the
+    # big-dict cold-plane join (every decode block touches ~all planes);
+    # VERDICT r4 #4 asks for a measured number here instead of a silent
+    # cliff past the old 8192-entry cap
+    n4 = 16 * 1024 * 1024
+    big_vals = rng.integers(-(10**12), 10**12, 100_000).astype(np.int64)
+    cfgs["dict_i64_100k"] = (
+        big_vals[rng.integers(0, 100_000, n4)],
+        ChunkConfig(mode_spec=ModeSpec(ModeSpec.TRY_DICT)), "pct",
+    )
+
+    # LPC-friendly i32 signal: a slow two-tone oscillator + small noise —
+    # order-6 conv1 predicts it far better than consecutive deltas
+    n3 = 8 * 1024 * 1024
+    t3 = np.arange(n3, dtype=np.float64)
+    sig = (
+        (1 << 20) * np.sin(0.01 * t3)
+        + (1 << 18) * np.sin(0.003 * t3 + 1.0)
+        + rng.integers(-64, 64, n3)
+    )
+    cfgs["conv1_i32_lpc"] = (
+        sig.astype(np.int32),
+        ChunkConfig(delta_spec=DeltaSpec(DeltaSpec.TRY_CONV1, 6)),
+        "standalone",
     )
 
     # incs 0..600 lands the ratio at ~6.87 (vs reference taxi's 6.89)
@@ -153,6 +188,75 @@ def time_device(plan_fn, data, expect_u64_sum):
         cs = int(f(la)[0])
         best = min(best, time.perf_counter() - t0)
     return best, ok, plan
+
+
+def time_encode(nums, cfg, name):
+    """Device file-image encode (plan_image + run_image + stitch) timed as
+    in bench.py: wall covers numbers-in-HBM (+ host mirror) -> completed
+    byte-exact .pct image in HBM, forced by an 8-byte checksum fetch. The
+    image is byte-compared against the host encoder once, untimed (the
+    compressed image readback is MB-scale). Returns {} when the config is
+    outside the device image path (reported as encode_device_image=False)."""
+    import jax
+    import jax.numpy as jnp
+    from pcodec_tpu.ops import assemble
+    from pcodec_tpu.codec.container import container_compress
+
+    page_n, chunk_n = 1024, 1 << 21
+    if nums.dtype.kind == "f":
+        nums_dev, nums_host = nums, nums  # float plans upload raw bits
+    else:
+        nums_dev = jnp.asarray(nums)
+        nums_host = nums
+        jnp.sum(nums_dev, dtype=jnp.int64).block_until_ready()
+
+    _force = jax.jit(lambda x: jnp.sum(
+        x.astype(jnp.uint32).astype(jnp.uint64)).reshape(1))
+
+    def encode_once():
+        t0 = time.perf_counter()
+        plan = assemble.plan_image(nums_dev, cfg, page_n, chunk_n,
+                                   nums_host=nums_host)
+        if plan is None:
+            return None, None, None
+        t1 = time.perf_counter()
+        out = assemble.run_image(plan, use_pallas=True)
+        if out is None:
+            return None, None, plan
+        int(_force(out[1])[0])
+        t2 = time.perf_counter()
+        return (t1 - t0, t2 - t1), out, plan
+
+    times, out, plan = encode_once()  # compile + warm
+    if out is None:
+        return {"encode_device_image": False}
+
+    # one-time untimed oracle compare (cached host bytes)
+    ocache = os.path.join(BLOB_CACHE, f"{name}_oracle_{len(nums)}.pct")
+    if os.path.exists(ocache):
+        with open(ocache, "rb") as fh:
+            expect = fh.read()
+    else:
+        expect = container_compress(nums, cfg, page_n=page_n, chunk_n=chunk_n)
+        with open(ocache, "wb") as fh:
+            fh.write(expect)
+    img = assemble.file_image_to_bytes(*out)
+    byte_exact = img == expect
+
+    train_secs, wall = 0.0, 9e9
+    for _ in range(3):
+        times, out, plan = encode_once()
+        if times and sum(times) < wall:
+            wall, train_secs = sum(times), times[0]
+    return {
+        "encode_device_image": True,
+        "encode_image_mode": plan.get("mode", "single"),
+        "encode_gbps": round(nums.nbytes / wall / 1e9, 3),
+        "encode_train_secs": round(train_secs, 2),
+        "encode_device_secs": round(wall - train_secs, 2),
+        "encode_byte_exact": byte_exact,
+        "encode_ratio": round(nums.nbytes / len(expect), 3),
+    }
 
 
 def main():
@@ -213,6 +317,10 @@ def main():
             "format": fmt,
             "ratio": round(ratio, 3),
             "decode_gbps": round(gbps, 3),
+            # symbol rate: GB/s penalizes narrow dtypes (f16 moves 4x fewer
+            # bytes per decoded number than i64); nums/s is the real kernel
+            # throughput axis (VERDICT r4 #7)
+            "nums_per_sec_m": round(len(nums) / best / 1e6, 1),
             "decode_ms": round(best * 1e3, 2),
             "checksum_ok": ok,
             "byte_exact": byte_exact,
@@ -220,6 +328,13 @@ def main():
             "ref_cpu_gbps": REF[name],
             "vs_ref": round(gbps / REF[name], 3),
         }
+        # device-encode leg (VERDICT r4 #2): every config gets a device
+        # file-image encode number (or an honest encode_device_image=False)
+        try:
+            results[name].update(time_encode(nums, cfg, name))
+        except Exception as e:
+            n_errors += 1
+            results[name]["encode_error"] = f"{type(e).__name__}: {e}"[:300]
         print(name, json.dumps(results[name]), flush=True)
 
     if not only:  # a filtered A/B run must not overwrite the full matrix

@@ -215,11 +215,19 @@ def _pack_meta_group(moments_g, idxs_g, order, sl, bits, mw):
     Wire layout (PageMeta.write_to): order delta-state latents at `bits`
     each, then 4 ANS final-state idxs at `sl` bits, LSB-first in the
     little-endian byte stream — so u32 word w holds bits [32w, 32w+32)."""
-    G = moments_g.shape[0]
-    words = [jnp.zeros((G,), jnp.uint64) for _ in range(mw)]
-    cursor = 0
     fields = [(moments_g[:, k], bits) for k in range(order)]
     fields += [(idxs_g[:, k], sl) for k in range(4)]
+    return _pack_meta_fields(fields, moments_g.shape[0], mw)
+
+
+def _pack_meta_fields(fields, G, mw):
+    """Bit-pack a sequence of (values (G,) u64, n_bits) fields LSB-first
+    into (G, mw) u32 words — the multi-latent-var page-meta layout is the
+    same packing with per-var field lists (delta-state latents at the
+    var's latent bits, then 4 ANS idxs at its ans_size_log;
+    ref: pco/src/metadata/page.rs via format/metadata.py PageMeta)."""
+    words = [jnp.zeros((G,), jnp.uint64) for _ in range(mw)]
+    cursor = 0
     for val, nb in fields:
         if nb <= 0:
             continue
@@ -279,18 +287,6 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     st4 = take_chains(st4.reshape(T * 256, 4))                      # (R, 4)
     tb = take_chains(total_bits).astype(jnp.int64)
 
-    meta_bytes_row = jnp.asarray(np.asarray(layout.meta_bytes, np.int64))[cofp]
-    pfx_np = np.zeros(R, np.int64)
-    pfx_np[layout.page0_of_chunk()] = np.asarray(layout.pfx_bytes, np.int64)
-    pfx_bytes_row = jnp.asarray(pfx_np)
-
-    sec_bytes = (tb + 7) >> 3
-    row_total = pfx_bytes_row + meta_bytes_row + sec_bytes
-    starts = jnp.cumsum(row_total) - row_total
-    body_bytes = starts[-1] + row_total[-1]
-
-    off_meta = starts + pfx_bytes_row
-
     # ---- A+B: one combined row per page [page meta | section bytes] ----
     # the two spans are CONTIGUOUS in the file (meta at off_meta, sections
     # at off_meta + meta_bytes), and meta_bytes is STATIC per chunk, so the
@@ -325,14 +321,50 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
             rowsA0 = rowsA0.at[sel].set(packed)
 
     sec_u32 = jax.lax.bitcast_convert_type(sec2d, jnp.uint32)
+
+    # directory entries: per (page, batch) — single latent var
+    ep_np, eb_np = layout.dir_entry_pages()
+    ans_e = take_chains(ans_len)[jnp.asarray(ep_np), jnp.asarray(eb_np)]
+    off_e = take_chains(off_len)[jnp.asarray(ep_np), jnp.asarray(eb_np)]
+    vals16 = jnp.concatenate([ans_e, off_e]).astype(jnp.uint32)
+    ansoff = vals16[0::2] | (vals16[1::2] << 16)
+
+    cspec = (layout.n_chunks, layout.n_pages, layout.meta_bytes,
+             layout.pfx_bytes)
+    return _core_prep(cspec, sec_u32, rowsA0, tb, ansoff,
+                      head_host_words, pfx_words)
+
+
+def _core_prep(cspec, sec_u32, rowsA0, tb, ansoff, head_host_words,
+               pfx_words):
+    """Shared tail of image prep (called inside a jit): merge [page meta |
+    sections] rows, byte-shift both row streams to their destinations,
+    build the dense head words, and compute the stitch guards. cspec =
+    (n_chunks, n_pages tuple, meta_bytes tuple, pfx_bytes tuple)."""
+    n_chunks, n_pages, meta_bytes, pfx_bytes = cspec
+    R = int(sum(n_pages))
+    mw = rowsA0.shape[1]
     SECW = sec_u32.shape[1]
+    cofp = np.repeat(np.arange(n_chunks, dtype=np.int32),
+                     np.asarray(n_pages, np.int64))
+    meta_bytes_row = jnp.asarray(np.asarray(meta_bytes, np.int64)[cofp])
+    page0 = np.cumsum([0] + list(n_pages[:-1])).astype(np.int32)
+    pfx_np = np.zeros(R, np.int64)
+    pfx_np[page0] = np.asarray(pfx_bytes, np.int64)
+    pfx_bytes_row = jnp.asarray(pfx_np)
+
+    sec_bytes = (tb + 7) >> 3
+    row_total = pfx_bytes_row + meta_bytes_row + sec_bytes
+    starts = jnp.cumsum(row_total) - row_total
+    body_bytes = starts[-1] + row_total[-1]
+    off_meta = starts + pfx_bytes_row
+
     # combined unshifted row width: meta words + byte-shifted sections
-    mb_max = max(layout.meta_bytes)
+    mb_max = max(meta_bytes)
     WAB = (mb_max >> 2) + SECW + 1
-    cof_np = layout.chunk_of_page()
-    mb_arr = np.asarray(layout.meta_bytes, np.int64)
-    if len(set(layout.meta_bytes)) == 1:
-        mb = int(layout.meta_bytes[0])
+    mb_arr = np.asarray(meta_bytes, np.int64)
+    if len(set(meta_bytes)) == 1:
+        mb = int(meta_bytes[0])
         secsh = _byte_shift_rows(sec_u32, jnp.full((R,), mb & 3, jnp.int32))
         metap = jnp.concatenate(
             [rowsA0, jnp.zeros((R, WAB - mw), jnp.uint32)], axis=1)
@@ -344,9 +376,8 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
     else:
         parts = []
         row0 = 0
-        npages = layout.n_pages
-        for ci2 in range(layout.n_chunks):
-            npg = npages[ci2]
+        for ci2 in range(n_chunks):
+            npg = n_pages[ci2]
             mb = int(mb_arr[ci2])
             rA = rowsA0[row0:row0 + npg]
             rS = _byte_shift_rows(
@@ -368,21 +399,15 @@ def _prepare_image(layout: ImageLayout, sections, fstates, ans_len, off_len,
         jnp.int32)
 
     # ---- C: chunk-boundary prefix rows ----
-    p0 = jnp.asarray(layout.page0_of_chunk())
-    off_c = starts[p0]
+    off_c = starts[jnp.asarray(page0)]
     rowsC = _byte_shift_rows(pfx_words, (off_c & 3))
     F0C = (off_c >> 2).astype(jnp.int32)
-    lenC = ((jnp.asarray(np.asarray(layout.pfx_bytes, np.int64))
+    lenC = ((jnp.asarray(np.asarray(pfx_bytes, np.int64))
              + (off_c & 3) + 3) >> 2).astype(jnp.int32)
 
     # ---- head: [header + chunk_ns + chunk_meta_bytes] ++ page_bytes ++
     # [all pages' ans u16 entries] ++ [all pages' off u16 entries] ----
     page_bytes = (meta_bytes_row + sec_bytes).astype(jnp.uint32)
-    ep_np, eb_np = layout.dir_entry_pages()
-    ans_e = take_chains(ans_len)[jnp.asarray(ep_np), jnp.asarray(eb_np)]
-    off_e = take_chains(off_len)[jnp.asarray(ep_np), jnp.asarray(eb_np)]
-    vals16 = jnp.concatenate([ans_e, off_e]).astype(jnp.uint32)
-    ansoff = vals16[0::2] | (vals16[1::2] << 16)
     head_words = jnp.concatenate([head_host_words, page_bytes, ansoff])
 
     body_words = (body_bytes + 3) >> 2
@@ -637,6 +662,357 @@ def stitch_pallas(prep, nsb: int, caps: tuple):
 
 
 # ---------------------------------------------------------------------------
+# multi-latent-var image: joint per-batch interleaving across vars
+#
+# The wrapped page body interleaves the latent vars PER BATCH in file order
+# (delta, primary, secondary): for batch b, for var v, [ANS bits][offset
+# bits] (ref: pco/src/wrapped/chunk_compressor.rs:657-693 write_dissected_
+# page). The EC kernel already packs at caller-supplied per-batch bit
+# cursors, and its output is zero outside its own payload bits, so the
+# interleaved body is: run EB for every var's launch, compute JOINT
+# cursors across each chunk's vars from the per-batch section lengths,
+# run EC per launch at the joint positions into full-width buffers, and
+# OR the launches' rows together. Page metas concatenate the vars' fields
+# (delta-state latents + 4 ANS idxs each); the directory gets per
+# (page, var, batch) entries.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MVar:
+    key: str          # delta | primary | secondary
+    sl: int           # ans_size_log
+    ts: int           # real tANS table size
+    n_state: int      # delta-state latents in the page meta
+    state_bits: int   # bit width of each state latent
+    gi: int           # launch index; -1 = trivial var (no kernel job)
+    cs: int           # chain_start within launch gi
+
+
+@dataclass(frozen=True)
+class MChunk:
+    npg: int
+    last_nb: int      # batches in the chunk's (possibly ragged) last page
+    mrow: int         # moments row start (consecutive primary state); -1
+    lbrow: int        # lb_rows row start (lookback primary state); -1
+    vars: tuple       # of MVar, file order
+
+
+@dataclass(frozen=True)
+class MSpec:
+    page_n: int
+    sec_words: int    # JOINT section width (u32 words) — all EC launches
+    mw: int           # page-meta words
+    chunks: tuple     # of MChunk
+    n_launches: int
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _multi_glue(spec: MSpec, eb_lens, fstates_list, moments, lb_rows,
+                entry_sel):
+    """From per-launch EB outputs to: joint per-batch cursors per launch,
+    packed page-meta rows, joint per-page total bits, and the packed
+    directory ans/off entry words."""
+    B = spec.page_n // BATCH
+    st4s = []
+    for fst in fstates_list:
+        T = fst.shape[0]
+        st4s.append(
+            fst.reshape(T, 8, 32, 4).transpose(0, 2, 1, 3).reshape(T * 256, 4))
+    curs = [jnp.zeros((eb_lens[g][0].shape[0], 2 * B), jnp.int32)
+            for g in range(spec.n_launches)]
+    tb_parts, meta_parts, ans_parts, off_parts = [], [], [], []
+    for ch in spec.chunks:
+        npg = ch.npg
+        a_list, o_list = [], []
+        for v in ch.vars:
+            if v.gi >= 0:
+                a_list.append(eb_lens[v.gi][0][v.cs:v.cs + npg])
+                o_list.append(eb_lens[v.gi][1][v.cs:v.cs + npg])
+            else:
+                a_list.append(jnp.zeros((npg, B), jnp.int32))
+                o_list.append(jnp.zeros((npg, B), jnp.int32))
+        ans_s = jnp.stack(a_list, axis=2)           # (npg, B, V)
+        off_s = jnp.stack(o_list, axis=2)
+        tot = ans_s + off_s
+        V = len(ch.vars)
+        flat = tot.reshape(npg, B * V)              # (b-major, v-minor)
+        excl = jnp.cumsum(flat, axis=1) - flat
+        excl3 = excl.reshape(npg, B, V)
+        o_pos = excl3 + ans_s
+        tb_parts.append(jnp.sum(flat, axis=1).astype(jnp.int64))
+        fields = []
+        for vi, v in enumerate(ch.vars):
+            if v.gi >= 0:
+                cc2 = jnp.stack(
+                    [excl3[:, :, vi], o_pos[:, :, vi]], axis=2
+                ).reshape(npg, 2 * B).astype(jnp.int32)
+                curs[v.gi] = jax.lax.dynamic_update_slice(
+                    curs[v.gi], cc2, (v.cs, 0))
+            if v.n_state:
+                src = moments if ch.mrow >= 0 else lb_rows
+                row0 = ch.mrow if ch.mrow >= 0 else ch.lbrow
+                st = src[row0:row0 + npg]
+                for k in range(v.n_state):
+                    fields.append((st[:, k], v.state_bits))
+            if v.sl:
+                if v.gi >= 0:
+                    idx4 = (st4s[v.gi][v.cs:v.cs + npg].astype(jnp.int64)
+                            - v.ts).astype(jnp.uint64)
+                else:
+                    idx4 = jnp.zeros((npg, 4), jnp.uint64)
+                for k in range(4):
+                    fields.append((idx4[:, k], v.sl))
+            ans_parts.append(ans_s[:, :, vi].reshape(-1))
+            off_parts.append(off_s[:, :, vi].reshape(-1))
+        meta_parts.append(_pack_meta_fields(fields, npg, spec.mw))
+    tb = jnp.concatenate(tb_parts)
+    rowsA0 = (jnp.concatenate(meta_parts, axis=0) if len(meta_parts) > 1
+              else meta_parts[0])
+    ans_all = jnp.concatenate(ans_parts)
+    off_all = jnp.concatenate(off_parts)
+    ans_e = ans_all[entry_sel]
+    off_e = off_all[entry_sel]
+    vals16 = jnp.concatenate([ans_e, off_e]).astype(jnp.uint32)
+    ansoff = vals16[0::2] | (vals16[1::2] << 16)
+    return tuple(curs), rowsA0, tb, ansoff
+
+
+@partial(jax.jit, static_argnames=("spec", "cspec"))
+def _prep_multi(spec: MSpec, cspec, sections_list, rowsA0, tb, ansoff,
+                head_host_words, pfx_words):
+    """OR the launches' full-width section rows into global page order and
+    finish prep via the shared core."""
+    SEC = spec.sec_words
+    flat = [s.reshape(s.shape[0] * 256, SEC) for s in sections_list]
+    parts = []
+    for ch in spec.chunks:
+        acc = None
+        for v in ch.vars:
+            if v.gi < 0:
+                continue
+            rows = flat[v.gi][v.cs:v.cs + ch.npg]
+            acc = rows if acc is None else (acc | rows)
+        if acc is None:
+            acc = jnp.zeros((ch.npg, SEC), jnp.int32)
+        parts.append(acc)
+    sec2d = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    sec_u32 = jax.lax.bitcast_convert_type(sec2d, jnp.uint32)
+    return _core_prep(cspec, sec_u32, rowsA0, tb, ansoff,
+                      head_host_words, pfx_words)
+
+
+def _entry_sel_np(chunks, page_n):
+    """Static directory-entry gather indices: entries ordered (page, var,
+    batch) with only the page's real batches, indexing the glue's
+    concatenated per-(chunk, var) page-major/batch length arrays."""
+    B = page_n // BATCH
+    base_parts, n_parts = [], []
+    off = 0
+    for ch in chunks:
+        V = len(ch.vars)
+        npg = ch.npg
+        p_i = np.arange(npg, dtype=np.int64)[:, None]
+        v_i = np.arange(V, dtype=np.int64)[None, :]
+        bases = off + (v_i * npg + p_i) * B          # (npg, V), (p, v) order
+        nbs = np.full((npg, V), B, np.int64)
+        nbs[-1, :] = ch.last_nb
+        base_parts.append(bases.reshape(-1))
+        n_parts.append(nbs.reshape(-1))
+        off += V * npg * B
+    if not base_parts:
+        return np.zeros(0, np.int64)
+    starts_flat = np.concatenate(base_parts)
+    n_flat = np.concatenate(n_parts)
+    tot = int(n_flat.sum())
+    cum = np.cumsum(n_flat) - n_flat
+    return (np.arange(tot, dtype=np.int64)
+            - np.repeat(cum, n_flat) + np.repeat(starts_flat, n_flat))
+
+
+def _eb_jit(schema):
+    from pcodec_tpu.ops import pallas_encode as pe
+
+    key = ("eb", schema)
+    fn = _RUN_JIT_CACHE.get(key)
+    if fn is None:
+        if len(_RUN_JIT_CACHE) > 24:
+            _RUN_JIT_CACHE.clear()
+        fn = jax.jit(partial(pe._run_launch_eb, schema))
+        _RUN_JIT_CACHE[key] = fn
+    return fn
+
+
+def _ec_jit(schema):
+    from pcodec_tpu.ops import pallas_encode as pe
+
+    key = ("ec", schema)
+    fn = _RUN_JIT_CACHE.get(key)
+    if fn is None:
+        if len(_RUN_JIT_CACHE) > 24:
+            _RUN_JIT_CACHE.clear()
+        fn = jax.jit(partial(pe._run_launch_ec, schema))
+        _RUN_JIT_CACHE[key] = fn
+    return fn
+
+
+def _plan_image_multi(nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows,
+                      extras, page_n, _trace=lambda *_: None):
+    """Image plan for chunks with multiple latent vars (IntMult/Float*/
+    dict-with-secondary) and device lookback chunks. Returns a plan dict
+    (mode="multi") or None when outside coverage (host/section-width
+    limits); output bytes are identical to the host pipeline either way.
+
+    ref: the interleaved page-body order this reproduces is
+    pco/src/wrapped/chunk_compressor.rs:657-693 (write_dissected_page)."""
+    import struct
+    from pcodec_tpu.codec import container as ctn
+    from pcodec_tpu.codec.wrapped import FileCompressor
+    from pcodec_tpu.format.bitio import BitWriter
+    from pcodec_tpu.format.metadata import DeltaEncoding
+    from pcodec_tpu.ops import pallas_encode as pe
+
+    for cc in ccs:
+        if cc.meta.delta_encoding.kind not in (
+                DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE,
+                DeltaEncoding.LOOKBACK):
+            return None
+
+    built = pe._build_launch_args(groups, dev_rows=dev_rows)
+    job_loc = {}
+    for gi, (schema_g, jobs_g, _da) in enumerate(built):
+        for j in jobs_g:
+            job_loc[id(j)] = (gi, int(j["chain_start"]), schema_g)
+    _trace("launch args")
+
+    rows_per_chunk = extras.get("rows_per_chunk", 0)
+    chunks = []
+    lb_parts = []
+    lb_off = 0
+    sec_j = 0
+    for ci, cc in enumerate(ccs):
+        _kind, jlist = chunk_jobs[ci]
+        jl_by_var = {j.get("var", "primary"): j for j in jlist}
+        de = cc.meta.delta_encoding
+        vars_out = []
+        sec_sum = 0
+        for key, lvc in cc.lvcs.enumerated():
+            vm = cc.meta.per_latent_var.get(key)
+            sl = int(vm.ans_size_log)
+            n_state = de.for_latent_var(key).n_latents_per_state()
+            state_bits = vm.latent_type.bits
+            j = jl_by_var.get(key)
+            if j is None:
+                vars_out.append(MVar(key, sl, 0, n_state, state_bits, -1, 0))
+            else:
+                gi, cs, schema_g = job_loc[id(j)]
+                sec_sum += schema_g.sec_words
+                vars_out.append(MVar(
+                    key, sl, int(j["tables"][4]), n_state, state_bits,
+                    gi, cs))
+        sec_j = max(sec_j, sec_sum)
+        per = ctn._exact_split(chunk_ns[ci], page_n)
+        npg = len(per)
+        last_nb = -(-per[-1] // BATCH)
+        if de.kind == DeltaEncoding.LOOKBACK:
+            states = np.asarray(cc.page_infos.states)
+            lb_parts.append(states.astype(np.uint64))
+            mrow, lbrow = -1, lb_off
+            lb_off += npg
+        else:
+            mrow, lbrow = ci * rows_per_chunk, -1
+        chunks.append(MChunk(npg, last_nb, mrow, lbrow, tuple(vars_out)))
+
+    SEC_J = max(128, -(-sec_j // 128) * 128)
+    if SEC_J > 2048:
+        return None  # joint stream exceeds the EC kernel's VMEM budget
+    meta_bits = [sum(v.n_state * v.state_bits + 4 * v.sl for v in ch.vars)
+                 for ch in chunks]
+    meta_bytes = tuple((b + 7) // 8 for b in meta_bits)
+    mw = max(1, -(-(max(meta_bits) + 24) // 32))
+    if SEC_J + (-(-max(meta_bytes) // 4) + 2) > _sb_words():
+        return None  # a merged row could span >1 superblock
+
+    if lb_parts:
+        lbw = max(p.shape[1] for p in lb_parts)
+        lb_np = np.zeros((lb_off, lbw), np.uint64)
+        r0 = 0
+        for p in lb_parts:
+            lb_np[r0:r0 + p.shape[0], :p.shape[1]] = p
+            r0 += p.shape[0]
+    else:
+        lb_np = np.zeros((1, 1), np.uint64)
+
+    spec = MSpec(page_n=page_n, sec_words=SEC_J, mw=mw,
+                 chunks=tuple(chunks), n_launches=len(built))
+    entry_sel = _entry_sel_np(chunks, page_n)
+    E = len(entry_sel)
+
+    # dispatch EB right away: the kernels run during the host meta tail
+    eb_handles = [
+        _eb_jit(schema_g)(*dev_args) for schema_g, _j, dev_args in built
+    ]
+    _trace("EB dispatch")
+
+    # host bytes: wrapped header + chunk metas
+    w = BitWriter()
+    FileCompressor().write_header(w)
+    wrapped_hdr = w.to_bytes()
+    prefixes = []
+    for ci, cc in enumerate(ccs):
+        mw_ = BitWriter()
+        cc.write_meta(mw_)
+        m = mw_.to_bytes()
+        prefixes.append((wrapped_hdr + m) if ci == 0 else m)
+    _trace("prefix serialization")
+    if max(len(p) for p in prefixes) > (_sb_words() * 4) // 2 - 64:
+        return None  # giant chunk meta (huge dict): keep host assembly
+
+    n_pages = tuple(ch.npg for ch in chunks)
+    cspec = (len(chunks), n_pages, meta_bytes,
+             tuple(len(p) for p in prefixes))
+    R = int(sum(n_pages))
+
+    dir_bytes = 8 * len(chunk_ns) + 4 * R + 4 * E
+    header = struct.pack(
+        ctn.HEADER_FMT, ctn.MAGIC, nt.type_byte, 1, 0, page_n,
+        int(sum(chunk_ns)), len(chunk_ns), dir_bytes)
+    cmb = [len(p) for p in prefixes]
+    cmb[0] -= len(wrapped_hdr)
+    head_host = (header
+                 + np.asarray(chunk_ns, np.uint32).tobytes()
+                 + np.asarray(cmb, np.uint32).tobytes())
+    head_host_words = jnp.asarray(
+        np.frombuffer(head_host, np.uint8).view(np.uint32).copy())
+    head_bytes = len(head_host) + 4 * R + 4 * E
+
+    pw = max(1, -(-max(len(p) for p in prefixes) // 4))
+    pfx_np = np.zeros((len(prefixes), pw * 4), np.uint8)
+    for ci, p in enumerate(prefixes):
+        pfx_np[ci, :len(p)] = np.frombuffer(p, np.uint8)
+    pfx_words = jnp.asarray(pfx_np.view(np.uint32))
+
+    body_est = sum(len(p) for p in prefixes) + 64
+    for ci, cc in enumerate(ccs):
+        npg = chunks[ci].npg
+        body_est += npg * meta_bytes[ci] + 8 * npg
+        for key, lvc in cc.lvcs.enumerated():
+            ns = int(np.sum(cc.page_infos.stored_counts(key)))
+            body_est += int(ns * float(lvc.avg_bits_per_latent) * 1.05 / 8)
+    nsb_ub = int(-(-(-(-body_est // 4)) // _sb_words())) + 2
+
+    _trace("layout+head")
+    return dict(
+        mode="multi", spec=spec, cspec=cspec,
+        schemas=[b[0] for b in built], eb_handles=eb_handles,
+        moments_dev=extras["moments_dev"], lb_rows=jnp.asarray(lb_np),
+        entry_sel=jnp.asarray(entry_sel),
+        head_host_words=head_host_words, pfx_words=pfx_words,
+        head_bytes=head_bytes, nsb_ub=nsb_ub, nt=nt, ccs=ccs,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public entry: full device container encode to a file image
 # ---------------------------------------------------------------------------
 
@@ -687,22 +1063,57 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
         return None
     _trace("train")
     nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows = planned
-    if len(groups) != 1:
-        return None
     if not all(kind == "device" for kind, _ in chunk_jobs):
         return None
-    for ci, (kind, jlist) in enumerate(chunk_jobs):
-        if not isinstance(jlist, list) or len(jlist) != 1:
-            return None
-        if jlist[0].get("var", "primary") != "primary":
-            return None
-        de = ccs[ci].meta.delta_encoding
-        if de.kind not in (DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE):
-            return None
+
+    def _single_ok():
+        if len(groups) != 1:
+            return False
+        for ci, (kind, jlist) in enumerate(chunk_jobs):
+            if not isinstance(jlist, list) or len(jlist) != 1:
+                return False
+            if jlist[0].get("var", "primary") != "primary":
+                return False
+            pv = ccs[ci].meta.per_latent_var
+            if pv.secondary is not None or pv.delta is not None:
+                # a trivial secondary writes no body bits but still owns
+                # page-meta fields and zero directory entries — the joint
+                # path handles those
+                return False
+            de = ccs[ci].meta.delta_encoding
+            if de.kind not in (DeltaEncoding.NOOP, DeltaEncoding.CONSECUTIVE):
+                return False
+        return True
+
+    if not _single_ok():
+        # multi-latent-var / lookback chunks: joint-cursor interleaved path
+        plan_m = _plan_image_multi(nt, chunk_ns, ccs, chunk_jobs, groups,
+                                   dev_rows, extras, page_n, _trace)
+        return plan_m
 
     (schema, jobs, dev_args), = pe._build_launch_args(groups, dev_rows=dev_rows)
     assert [j["ci"] for j in jobs] == list(range(len(ccs)))
     _trace("launch args")
+
+    plt_bits = ccs[0].meta.mode.primary_latent_type(nt.latent).bits
+    orders, sls, tss, meta_bytes = [], [], [], []
+    for ci, cc in enumerate(ccs):
+        de = cc.meta.delta_encoding
+        o = de.order if de.kind == DeltaEncoding.CONSECUTIVE else 0
+        sl = cc.meta.per_latent_var.primary.ans_size_log
+        orders.append(int(o))
+        sls.append(int(sl))
+        tss.append(int(jobs[ci]["tables"][4]))
+        meta_bytes.append((o * plt_bits + 4 * sl + 7) // 8)
+
+    # schema-only guard BEFORE the launch dispatch (nothing below needs
+    # device output to decide it): a merged row = page-meta row + section
+    # row; slack derived from the actual max page-meta size instead of a
+    # hard-coded constant so layout growth can't silently overflow a
+    # superblock
+    mb_max_words = -(-max(meta_bytes) // 4) + 2
+    if schema.sec_words + mb_max_words > _sb_words():
+        return None  # a merged row could span >1 superblock: host assembly
 
     # dispatch EB/EC right away: the kernels run while the host serializes
     # chunk metas and builds the layout below (~0.1 s at 64M that would
@@ -723,19 +1134,6 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
     _trace("prefix serialization")
     if max(len(p) for p in prefixes) > (_sb_words() * 4) // 2 - 64:
         return None  # giant chunk meta (huge dict): keep host assembly
-    if schema.sec_words + 20 > _sb_words():
-        return None  # a merged row could span >1 superblock: host assembly
-
-    plt_bits = ccs[0].meta.mode.primary_latent_type(nt.latent).bits
-    orders, sls, tss, meta_bytes = [], [], [], []
-    for ci, cc in enumerate(ccs):
-        de = cc.meta.delta_encoding
-        o = de.order if de.kind == DeltaEncoding.CONSECUTIVE else 0
-        sl = cc.meta.per_latent_var.primary.ans_size_log
-        orders.append(int(o))
-        sls.append(int(sl))
-        tss.append(int(jobs[ci]["tables"][4]))
-        meta_bytes.append((o * plt_bits + 4 * sl + 7) // 8)
 
     pages_pc = []
     for cn in chunk_ns:
@@ -818,6 +1216,35 @@ def _default_caps():
     return (32 * sc, 8)
 
 
+def _run_multi_prep(plan):
+    """EB outputs -> joint cursors -> per-launch EC at joint positions ->
+    merged prep (see _plan_image_multi)."""
+    from dataclasses import replace as _replace
+
+    spec = plan["spec"]
+    ebs = plan["eb_handles"]
+    eb_lens = tuple((o[2], o[3]) for o in ebs)
+    fstates_list = tuple(o[1] for o in ebs)
+    curs, rowsA0, tb, ansoff = _multi_glue(
+        spec, eb_lens, fstates_list, plan["moments_dev"], plan["lb_rows"],
+        plan["entry_sel"])
+    sections = []
+    for g, schema_g in enumerate(plan["schemas"]):
+        k = 4
+        offlo = ebs[g][k] if schema_g.has_off else None
+        k += 1 if schema_g.has_off else 0
+        offhi = ebs[g][k] if schema_g.off64 else None
+        schema_ec = _replace(schema_g, sec_words=spec.sec_words)
+        args = [curs[g], ebs[g][0]]
+        if offlo is not None:
+            args.append(offlo)
+        if offhi is not None:
+            args.append(offhi)
+        sections.append(_ec_jit(schema_ec)(*args))
+    return _prep_multi(spec, plan["cspec"], tuple(sections), rowsA0, tb,
+                       ansoff, plan["head_host_words"], plan["pfx_words"])
+
+
 def run_image(plan, use_pallas: bool = True):
     """Run EB/EC + prep + stitch. Returns (head_words, body_words,
     head_bytes, body_bytes) with both word arrays device-resident.
@@ -826,13 +1253,16 @@ def run_image(plan, use_pallas: bool = True):
     layout's worst-case superblock count, so it queues right behind prep on
     the device; the guard scalars transfer while it runs and only trigger a
     (rare) redo when the data's row clustering exceeds the defaults."""
-    out = plan.get("launch_out")
-    if out is None:
-        out = _run_launch_jit(plan["schema"])(*plan["dev_args"])
-    sections, fstates, ans_len, off_len, total_bits = out
-    prep = _prepare_image(
-        plan["layout"], sections, fstates, ans_len, off_len, total_bits,
-        plan["moments_dev"], plan["head_host_words"], plan["pfx_words"])
+    if plan.get("mode") == "multi":
+        prep = _run_multi_prep(plan)
+    else:
+        out = plan.get("launch_out")
+        if out is None:
+            out = _run_launch_jit(plan["schema"])(*plan["dev_args"])
+        sections, fstates, ans_len, off_len, total_bits = out
+        prep = _prepare_image(
+            plan["layout"], sections, fstates, ans_len, off_len, total_bits,
+            plan["moments_dev"], plan["head_host_words"], plan["pfx_words"])
     try:
         prep["guards"].copy_to_host_async()
     except Exception:

@@ -1406,7 +1406,13 @@ def float_mult_f64_device_ok(meta, nt) -> bool:
     eb = (int(mem) >> 52) & 0x7FF
     return eb != 0 and eb != 0x7FF
 
-_DICT_JOIN_MAX_ENTRIES = 8192  # tree-select cost ~ entries/128 per gather
+# <=8192 entries: fully unrolled select tree (cost ~ entries/128 gathers
+# per 1024 lookups). Above that, the big-dict kernel (hot-prefix tree +
+# data-bounded cold-plane loop) covers up to 2^17 entries (8 MB of VMEM
+# planes, vmem_limit raised); only beyond THAT does the join fall to the
+# ~35 M/s XLA gather. The wire format allows 2^25 entries
+# (ref: metadata/mode.rs:102-195).
+_DICT_JOIN_MAX_ENTRIES = 1 << 17
 
 
 def _dict_mem_planes(nt: NumberType, dict_vals: np.ndarray):
@@ -1445,6 +1451,40 @@ def _dict_join_kernel_body(idx_ref, planes_ref, lo_ref, hi_ref, P):
         hi_ref[0] = _tree_gather([planes_ref[1, k] for k in range(P)], idx)
 
 
+_DICT_HOT_PLANES = 16  # unrolled select-tree prefix of the big-dict kernel
+
+
+def _dict_join_kernel_body_big(idx_ref, planes_ref, lo_ref, hi_ref, P):
+    """Big-dictionary join: unrolled select tree over the first
+    _DICT_HOT_PLANES planes (pco dictionaries are frequency-sorted —
+    mode/dict.rs:53 — so the hot mass lives in the low indices), then a
+    data-bounded fori_loop over the cold planes. A block whose indices all
+    land in the hot prefix runs zero loop iterations, so zipf-ish data
+    decodes at small-dict speed; uniform data degrades linearly in the
+    number of REFERENCED planes, not the dictionary size."""
+    H = _DICT_HOT_PLANES
+    with jax.enable_x64(False):
+        idx = idx_ref[0]
+        lo = _tree_gather([planes_ref[0, k] for k in range(H)], idx)
+        hi = _tree_gather([planes_ref[1, k] for k in range(H)], idx)
+        plane = _srl(idx, 7)
+        lane_lo = idx & 127
+        need = jnp.max(plane)
+
+        def body(k, carry):
+            lo, hi = carry
+            p_lo = planes_ref[0, k]
+            p_hi = planes_ref[1, k]
+            m = plane == k
+            g_lo = jnp.take_along_axis(p_lo, lane_lo, axis=1)
+            g_hi = jnp.take_along_axis(p_hi, lane_lo, axis=1)
+            return jnp.where(m, g_lo, lo), jnp.where(m, g_hi, hi)
+
+        lo, hi = jax.lax.fori_loop(jnp.int32(H), need + 1, body, (lo, hi))
+        lo_ref[0] = lo
+        hi_ref[0] = hi
+
+
 def _dict_join_pairs(primary_flat, planes_dev, n_entries: int):
     """Dict join on device: primary (n,) u64 index latents -> (n, 2) int32
     little-endian memory-bit word pairs via VMEM lane-gather trees (the
@@ -1458,7 +1498,10 @@ def _dict_join_pairs(primary_flat, planes_dev, n_entries: int):
     blocks = max(-(-n // 1024), 1)
     pad = blocks * 1024 - n
     idx2 = jnp.pad(idx, (0, pad)).reshape(blocks, 8, 128)
-    kernel = partial(_dict_join_kernel_body, P=P)
+    if P <= 4 * _DICT_HOT_PLANES:
+        kernel = partial(_dict_join_kernel_body, P=P)
+    else:
+        kernel = partial(_dict_join_kernel_body_big, P=P)
     out_spec = pl.BlockSpec(
         (1, 8, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
         memory_space=pltpu.VMEM,
@@ -1479,6 +1522,8 @@ def _dict_join_pairs(primary_flat, planes_dev, n_entries: int):
             jax.ShapeDtypeStruct((blocks, 8, 128), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=16 * 1024 * 1024),
     )(idx2, planes_dev)
     return jnp.stack([lo.reshape(-1), hi.reshape(-1)], axis=-1)[:n]
 

@@ -589,6 +589,43 @@ def _run_launch_device(schema: EncSchema, latlo, lathi, tables, bodyn, states0, 
 
 
 
+def _run_launch_eb(schema: EncSchema, latlo, lathi, tables, bodyn, states0,
+                   tbl_ids):
+    """EB + per-batch section-length reduces, WITHOUT cursors/EC. The
+    multi-latent-var file-image assembler (ops/assemble.py) computes JOINT
+    cursors across all of a chunk's vars from these lengths, then packs
+    each var with _run_launch_ec — the interleaved page body the reference
+    writes per batch per var (wrapped/chunk_compressor.rs:657-693)."""
+    eb_out = _eb_call(schema, latlo, lathi, tables, bodyn, states0, tbl_ids)
+    p1 = eb_out[0]
+    offlo = eb_out[1] if schema.has_off else None
+    offhi = eb_out[2] if schema.off64 else None
+    final_states = eb_out[-1]
+    T = p1.shape[0]
+    B = schema.n_batches
+    bits = _srl(p1, 15) & 15
+    ob = _srl(p1, 19) & 127
+    blk = bits.reshape(T, B, RPB, 8, 32, 4)
+    ans_len = _chains_cols(jnp.sum(blk, axis=(2, 5), dtype=jnp.int32))
+    oblk = ob.reshape(T, B, RPB, 8, 32, 4)
+    off_len = _chains_cols(jnp.sum(oblk, axis=(2, 5), dtype=jnp.int32))
+    outs = [p1, final_states, ans_len, off_len]
+    if offlo is not None:
+        outs.append(offlo)
+    if offhi is not None:
+        outs.append(offhi)
+    return tuple(outs)
+
+
+def _run_launch_ec(schema: EncSchema, curs_cols, p1, offlo=None, offhi=None):
+    """EC with caller-supplied per-batch bit cursors (chains, 2B): even
+    columns = ANS section start, odd = offset section start, both relative
+    to the page's section stream. schema.sec_words must cover the JOINT
+    stream width when vars interleave."""
+    curs = _dense_quad_dev(curs_cols)
+    return _ec_call(schema, curs, p1, offlo, offhi)
+
+
 def _shardify_launch(mesh, schema, dev_args):
     """Wrap one launch as a shard_map over the tile axis (SURVEY §5 encode
     scale-out): every device runs the EB/EC kernels on its own tile shard;

@@ -236,3 +236,15 @@ class TestDictJoinKernel:
         nt = number_type_from_np(np.dtype(np.int64))
         big = np.arange(pd._DICT_JOIN_MAX_ENTRIES + 1, dtype=np.uint64)
         assert pd._dict_mem_planes(nt, big) is None
+
+    def test_big_dict_cold_plane_loop(self):
+        # > 4*_DICT_HOT_PLANES planes: exercises the hot-prefix tree +
+        # data-bounded cold-plane fori_loop kernel; indices mix a zipf-ish
+        # hot mass with cold-tail and out-of-range (clamped) hits
+        d = RNG.integers(-(10**9), 10**9, 20_000).astype(np.int64)
+        idx = np.where(
+            RNG.random(3000) < 0.8,
+            RNG.integers(0, 512, 3000),          # hot prefix
+            RNG.integers(0, 25_000, 3000),       # cold planes + clamps
+        ).astype(np.int64)
+        self._check(np.int64, d, idx)
