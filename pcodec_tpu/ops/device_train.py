@@ -435,11 +435,24 @@ def _phase_delta_sort(lat2d, order_row, rowlen, nreal, extract_idx,
         rec = lambda x: x
 
     v = jnp.take_along_axis(s, extract_idx.astype(jnp.int32), axis=1)
-    left = jax.vmap(partial(jnp.searchsorted, side="left"))(s, v)
-    right = jax.vmap(partial(jnp.searchsorted, side="right"))(s, v)
+    # extract ranks via run-boundary cumulative scans (the extracts come
+    # FROM s, so searchsorted left/right == first/last occurrence) — same
+    # replacement as _extracts_and_walk, measured faster than the vmapped
+    # binary search on the full-width rows
+    col_r = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    bnd_l = jnp.concatenate(
+        [jnp.ones((s.shape[0], 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    first_idx = jax.lax.cummax(jnp.where(bnd_l, col_r, 0), axis=1)
+    bnd_r = jnp.concatenate(
+        [s[:, 1:] != s[:, :-1], jnp.ones((s.shape[0], 1), bool)], axis=1)
+    last_idx = jax.lax.cummin(
+        jnp.where(bnd_r, col_r, jnp.int32(0x7FFFFFFF)), axis=1, reverse=True)
+    eidx32 = extract_idx.astype(jnp.int32)
+    left = jnp.take_along_axis(first_idx, eidx32, axis=1)
+    right = jnp.take_along_axis(last_idx, eidx32, axis=1).astype(jnp.int64) + 1
     # pads sort at the tail; clipping right to the real count keeps
     # run extents exact even when real values equal the pad key
-    right = jnp.minimum(right.astype(jnp.int64), nreal64)
+    right = jnp.minimum(right, nreal64)
     sl1 = jnp.take_along_axis(s, jnp.maximum(left - 1, 0).astype(jnp.int32), axis=1)
     sr_idx = jnp.clip(jnp.minimum(right, nreal64 - 1), 0, s.shape[1] - 1)
     sr = jnp.take_along_axis(s, sr_idx.astype(jnp.int32), axis=1)
@@ -1805,15 +1818,25 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         (idx_cache, dslice_cache, mode_spans, delta_spans,
          mode_idx, delta_idx) = bk
 
+    # the IntMult screening runs on the host thread below whenever the
+    # caller owns a host mirror; the device then never consumes mode_s, so
+    # the ~n/40-element random gather (~45 ms device at 64M) is skipped by
+    # uploading an empty mode index array
+    host_gcd_early = (
+        nt.kind != "float" and config.mode_spec.kind == ModeSpec.AUTO
+        and nums_host is not None and not host_decide and not is_float_auto
+    )
+
     # The sample index arrays are deterministic functions of the chunk layout
     # (~n/40 i64 indices = the dominant host->device upload); cache the
     # uploaded device copies across calls. Float-auto mode indices depend on
     # per-draw keep flags (data), so those upload fresh.
-    ckey = (tuple(chunk_ns), page_n)
+    ckey = (tuple(chunk_ns), page_n, host_gcd_early)
     cached = (None if (is_float_auto or host_decide)
               else _IDX_UPLOAD_CACHE.get(ckey))
     if cached is None:
-        mode_idx_dev = jnp.asarray(mode_idx)
+        mode_idx_dev = jnp.asarray(
+            np.zeros(0, np.int64) if host_gcd_early else mode_idx)
         delta_idx_dev = jnp.asarray(delta_idx)
         if not (is_float_auto or host_decide):
             # host_decide uploads empty index arrays — never cache those
@@ -1896,16 +1919,16 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     gcd_box: Dict[int, int] = {}
     gcd_thread = None
     if host_gcd:
-        starts_hg = np.concatenate([[0], np.cumsum(chunk_ns)[:-1]])
-
         def _host_gcd_all():
-            for ci_g, cn_g in enumerate(chunk_ns):
-                mi_g = idx_cache.get(cn_g)
-                if mi_g is None or len(mi_g) == 0:
+            # ONE vectorized gather + bijection over all chunks' samples
+            # (32 per-chunk fancy-index gathers measured ~0.15 s of the
+            # thread's ~0.25 s at 64M; the screening itself is ~0.09 s)
+            s_all = nt.to_latent_ordered(nums_host[mode_idx])
+            for ci_g in range(n_chunks):
+                a_g, m_g = mode_spans[ci_g]
+                if m_g == 0:
                     continue
-                cnums = nums_host[starts_hg[ci_g] : starts_hg[ci_g] + cn_g]
-                s_lat = nt.to_latent_ordered(cnums[mi_g])
-                b_g = int_mult.choose_base_from_sample(s_lat)
+                b_g = int_mult.choose_base_from_sample(s_all[a_g : a_g + m_g])
                 if b_g is not None:
                     gcd_box[ci_g] = int(b_g)
 

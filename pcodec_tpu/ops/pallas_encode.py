@@ -675,6 +675,44 @@ def _shardify_launch(mesh, schema, dev_args):
     return jax.jit(step), dev_args, trim
 
 
+_ROWS_JIT_CACHE = {}
+
+
+def _rows_to_planes(slices, srcs):
+    """Jitted (cached per static slice layout) device-row assembly: slice
+    each job's page rows out of its source array, zero the junk fronts'
+    tail columns, concatenate, and split into the EB kernels' round-layout
+    lo/hi planes. Replaces a per-chunk chain of eager jnp ops (~0.1 s of
+    1-core dispatch overhead per 64M encode)."""
+    key = slices
+    fn = _ROWS_JIT_CACHE.get(key)
+    if fn is None:
+        if len(_ROWS_JIT_CACHE) > 16:
+            _ROWS_JIT_CACHE.clear()
+
+        @jax.jit
+        def fn(*srcs):
+            parts = []
+            for si, rs, nr, o in slices:
+                rows = srcs[si][rs:rs + nr]
+                body = rows[:, o:]
+                parts.append(
+                    jnp.pad(body, ((0, 0), (0, o))) if o else body)
+            lat_dev = (jnp.concatenate(parts, axis=0)
+                       if len(parts) > 1 else parts[0])
+            latlo = _to_round_layout(
+                jax.lax.bitcast_convert_type(
+                    lat_dev.astype(jnp.uint32), jnp.int32))
+            lathi = _to_round_layout(
+                jax.lax.bitcast_convert_type(
+                    (lat_dev >> jnp.uint64(32)).astype(jnp.uint32),
+                    jnp.int32))
+            return latlo, lathi
+
+        _ROWS_JIT_CACHE[key] = fn
+    return fn(*srcs)
+
+
 def _build_launch_args(groups, dev_rows=None):
     """Build per-launch (schema, jobs, dev_args) WITHOUT running the
     kernels. Mutates each job with chain_start / n_pages bookkeeping (the
@@ -701,6 +739,8 @@ def _build_launch_args(groups, dev_rows=None):
         chain_runs = []
         tbl_ids = []
         lat_rows = []
+        dev_slices = []
+        dev_srcs = []
         bodyn_rows = []
         states0_rows = []
         for tid, j in enumerate(jobs):
@@ -733,11 +773,14 @@ def _build_launch_args(groups, dev_rows=None):
                 o = d["order"]
                 src = d.get("src")
                 src = dev_rows if src is None else src
-                rows_dev = src[d["row_start"] : d["row_start"] + n_pages + n_pad]
-                body2d = rows_dev[:, o:]
-                lat_rows.append(
-                    jnp.pad(body2d, ((0, 0), (0, o))) if o else body2d
-                )
+                si = next(
+                    (k for k, s_ in enumerate(dev_srcs) if s_ is src), None)
+                if si is None:
+                    si = len(dev_srcs)
+                    dev_srcs.append(src)
+                dev_slices.append(
+                    (si, int(d["row_start"]), n_pages + n_pad, int(o)))
+                lat_rows.append(None)  # assembled jitted below
                 sc_fn = getattr(cc.page_infos, "stored_counts", None)
                 if sc_fn is not None:
                     # vectorized: building one PageInfo object per page
@@ -765,8 +808,21 @@ def _build_launch_args(groups, dev_rows=None):
 
         bodyn_all = np.concatenate(bodyn_rows)
         states0_all = np.concatenate(states0_rows)
-        if any(isinstance(r, jnp.ndarray) or hasattr(r, "devices") for r in lat_rows):
-            parts = [r if hasattr(r, "devices") else jnp.asarray(r) for r in lat_rows]
+        if dev_slices and all(r is None for r in lat_rows):
+            latlo, lathi = _rows_to_planes(tuple(dev_slices), dev_srcs)
+        elif dev_slices:  # mixed dev/host jobs in one group (not produced
+            # by either planner today): eager assembly preserves order
+            parts = []
+            k = 0
+            for r in lat_rows:
+                if r is None:
+                    si, rs, nr, o = dev_slices[k]
+                    k += 1
+                    body = dev_srcs[si][rs:rs + nr][:, o:]
+                    parts.append(
+                        jnp.pad(body, ((0, 0), (0, o))) if o else body)
+                else:
+                    parts.append(jnp.asarray(r))
             lat_dev = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             latlo = _to_round_layout(
                 jax.lax.bitcast_convert_type(lat_dev.astype(jnp.uint32), jnp.int32))
