@@ -336,26 +336,34 @@ def main():
             n_errors += 1
             results[name]["encode_error"] = f"{type(e).__name__}: {e}"[:300]
         print(name, json.dumps(results[name]), flush=True)
+        if not only:
+            _merge_out(results)  # after EVERY config: a timeout mid-run
+            # must not lose the configs already measured
 
     if not only:  # a filtered A/B run must not overwrite the full matrix
-        # merge: never replace a previously good measurement with an error
-        prior = {}
-        if os.path.exists(MATRIX_OUT):
-            try:
-                with open(MATRIX_OUT) as f:
-                    prior = json.load(f)
-            except Exception:
-                prior = {}
-        merged = dict(prior)
-        for name, res in results.items():
-            if "error" in res and "error" not in merged.get(name, {"error": 1}):
-                continue
-            merged[name] = res
-        with open(MATRIX_OUT, "w") as f:
-            json.dump(merged, f, indent=1)
+        _merge_out(results)
     print(json.dumps({"matrix": results}))
     if n_errors:
         sys.exit(1)
+
+
+def _merge_out(results):
+    """Merge results into MATRIX_OUT, never replacing a previously good
+    measurement with an error."""
+    prior = {}
+    if os.path.exists(MATRIX_OUT):
+        try:
+            with open(MATRIX_OUT) as f:
+                prior = json.load(f)
+        except Exception:
+            prior = {}
+    merged = dict(prior)
+    for name, res in results.items():
+        if "error" in res and "error" not in merged.get(name, {"error": 1}):
+            continue
+        merged[name] = res
+    with open(MATRIX_OUT, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
