@@ -203,8 +203,14 @@ def time_encode(nums, cfg, name):
     from pcodec_tpu.codec.container import container_compress
 
     page_n, chunk_n = 1024, 1 << 21
+    dev_bits = None
     if nums.dtype.kind == "f":
-        nums_dev, nums_host = nums, nums  # float plans upload raw bits
+        # float plans consume raw BITS on device; upload them once outside
+        # the timed wall (same numbers-in-HBM protocol as the int configs)
+        idt = {2: np.int16, 4: np.int32, 8: np.int64}[nums.dtype.itemsize]
+        dev_bits = jnp.asarray(nums.view(idt))
+        nums_dev, nums_host = nums, nums
+        int(jnp.sum(dev_bits, dtype=jnp.int64)[None][0])
     else:
         nums_dev = jnp.asarray(nums)
         nums_host = nums
@@ -216,7 +222,7 @@ def time_encode(nums, cfg, name):
     def encode_once():
         t0 = time.perf_counter()
         plan = assemble.plan_image(nums_dev, cfg, page_n, chunk_n,
-                                   nums_host=nums_host)
+                                   nums_host=nums_host, dev_bits=dev_bits)
         if plan is None:
             return None, None, None
         t1 = time.perf_counter()
@@ -335,12 +341,17 @@ def main():
         except Exception as e:
             n_errors += 1
             results[name]["encode_error"] = f"{type(e).__name__}: {e}"[:300]
+        # a filtered A/B run must not overwrite the full matrix unless the
+        # caller asks for it (PCODEC_BENCH_MERGE=1 re-measures one config
+        # in place); merge after EVERY config so a timeout mid-run keeps
+        # the configs already measured
+        merge_ok = (not only) or bool(
+            int(os.environ.get("PCODEC_BENCH_MERGE", "0")))
         print(name, json.dumps(results[name]), flush=True)
-        if not only:
-            _merge_out(results)  # after EVERY config: a timeout mid-run
-            # must not lose the configs already measured
+        if merge_ok:
+            _merge_out(results)
 
-    if not only:  # a filtered A/B run must not overwrite the full matrix
+    if not only or bool(int(os.environ.get("PCODEC_BENCH_MERGE", "0"))):
         _merge_out(results)
     print(json.dumps({"matrix": results}))
     if n_errors:

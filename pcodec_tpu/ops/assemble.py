@@ -924,7 +924,7 @@ def _plan_image_multi(nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows,
         chunks.append(MChunk(npg, last_nb, mrow, lbrow, tuple(vars_out)))
 
     SEC_J = max(128, -(-sec_j // 128) * 128)
-    if SEC_J > 2048:
+    if SEC_J > 3072:
         return None  # joint stream exceeds the EC kernel's VMEM budget
     meta_bits = [sum(v.n_state * v.state_bits + 4 * v.sl for v in ch.vars)
                  for ch in chunks]
@@ -1025,7 +1025,7 @@ def _bucket(x, choices):
 
 
 def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
-               nums_host=None):
+               nums_host=None, dev_bits=None):
     """Train (plan_encode_device) + build the image layout. Returns None
     when this input is outside the image path's coverage (the caller falls
     back to pallas_encode.encode_container_device, byte-identical output).
@@ -1058,7 +1058,7 @@ def plan_image(nums, config=None, page_n: int = 1024, chunk_n: int = 1 << 20,
 
     extras = {}
     planned = plan_encode_device(nums, config, page_n, chunk_n, extras=extras,
-                                 nums_host=nums_host)
+                                 nums_host=nums_host, dev_bits=dev_bits)
     if planned is None or "moments_dev" not in extras:
         return None
     _trace("train")

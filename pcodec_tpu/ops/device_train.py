@@ -1641,7 +1641,8 @@ def _native_auto_delta_batch(samples, chunk_ns, ubls, plt, _nk):
 
 def plan_encode_device(nums, config: Optional[ChunkConfig],
                        page_n: int, chunk_n: int, extras: Optional[dict] = None,
-                       nums_host: Optional[np.ndarray] = None):
+                       nums_host: Optional[np.ndarray] = None,
+                       dev_bits=None):
     """Device-train drop-in for pallas_encode._plan_encode. Returns
     (nt, chunk_ns, ccs, chunk_jobs, groups, dev_rows) or None when the
     configuration isn't covered (caller falls back to the host planner).
@@ -1693,11 +1694,21 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     lt = nt.latent
     if nt.kind == "float":
         # the device only ever needs the raw BITS (bijection/keep are integer
-        # ops) and the TPU x64 rewriter can't bitcast f64 -> u64 on device
-        if not isinstance(nums, np.ndarray):
-            return None  # device-resident float input: host pipeline
+        # ops) and the TPU x64 rewriter can't bitcast f64 -> u64 on device.
+        # dev_bits: caller-held device copy of nums.view(int) — production
+        # pipelines keep the bits in HBM; without it every plan re-uploads
+        # the whole array through the MB/s tunnel
         idt = {16: np.int16, 32: np.int32, 64: np.int64}[lt.bits]
-        nums_dev = jnp.asarray(nums.view(idt))
+        if dev_bits is not None:
+            if dev_bits.dtype != jnp.dtype(idt) or dev_bits.shape != (n,):
+                return None
+            nums_dev = dev_bits
+            if nums_host is None and isinstance(nums, np.ndarray):
+                nums_host = nums
+        elif isinstance(nums, np.ndarray):
+            nums_dev = jnp.asarray(nums.view(idt))
+        else:
+            return None  # device-resident float input without bits view
     else:
         nums_dev = jnp.asarray(nums)
     is_float_auto = nt.kind == "float" and config.mode_spec.kind == ModeSpec.AUTO
@@ -2696,26 +2707,34 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         for ci, enc in lb_encs.items():
             key = (int(ubls[ci]), int(enc.window_n_log), int(enc.state_n))
             lbe_groups.setdefault(key, []).append(ci)
-        for (ubl_g, wnl_g, stn_g), cis in sorted(lbe_groups.items()):
-            rows_idx = np.concatenate([
-                np.arange(ci * rows_per_chunk, (ci + 1) * rows_per_chunk)
-                for ci in cis
-            ]).astype(np.int32)
-            # per chunk: stored primary latents = lookback count = n minus
-            # the state_n page-front latents of each page
-            nr_g = np.array(
-                [chunk_ns[ci] - stn_g * len(pages_per_chunk[ci]) for ci in cis],
-                np.int64,
-            )
-            outs = _phase_lookback(
-                lat2d[jnp.asarray(rows_idx)],
-                jnp.asarray(rowlen[rows_idx]),
-                jnp.asarray(nr_g), jnp.asarray(nr_g),
-                n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
-                page_n=page_n, lat_bits=plt.bits, wnl=wnl_g, state_n=stn_g,
-                nb_log=ubl_g,
-            )
-            lbe_handles.append(((ubl_g, stn_g), cis, outs))
+        # cap chunks per dispatch: a 16-chunk (32M-element) _phase_lookback
+        # dispatch crashes the v5e worker ("kernel fault", 2026-08-21) while
+        # 4-chunk dispatches of the SAME chunk size run byte-exact — split
+        # groups and keep every dispatch in the proven envelope
+        LBE_MAX_CHUNKS = 4
+        for (ubl_g, wnl_g, stn_g), cis_all in sorted(lbe_groups.items()):
+            for gi0 in range(0, len(cis_all), LBE_MAX_CHUNKS):
+                cis = cis_all[gi0 : gi0 + LBE_MAX_CHUNKS]
+                rows_idx = np.concatenate([
+                    np.arange(ci * rows_per_chunk, (ci + 1) * rows_per_chunk)
+                    for ci in cis
+                ]).astype(np.int32)
+                # per chunk: stored primary latents = lookback count = n
+                # minus the state_n page-front latents of each page
+                nr_g = np.array(
+                    [chunk_ns[ci] - stn_g * len(pages_per_chunk[ci])
+                     for ci in cis],
+                    np.int64,
+                )
+                outs = _phase_lookback(
+                    lat2d[jnp.asarray(rows_idx)],
+                    jnp.asarray(rowlen[rows_idx]),
+                    jnp.asarray(nr_g), jnp.asarray(nr_g),
+                    n_chunks=len(cis), rows_per_chunk=rows_per_chunk,
+                    page_n=page_n, lat_bits=plt.bits, wnl=wnl_g,
+                    state_n=stn_g, nb_log=ubl_g,
+                )
+                lbe_handles.append(((ubl_g, stn_g), cis, outs))
         _t0 = _trace("lookback-encode dispatch", _t0)
 
     for t in fetch_threads:
@@ -2935,7 +2954,7 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
                 if b else 0.0
             )
             sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
-            if not (ts <= 4096 and b <= 2048 and sec_words <= 2048):
+            if not (ts <= 4096 and b <= 2048 and sec_words <= 3072):
                 ok = False
                 break
             ob_class = 0 if max_ob == 0 else (32 if max_ob <= 32 else 64)

@@ -493,12 +493,20 @@ def _ec_call(schema: EncSchema, curs, p1, offlo, offhi):
             pltpu.VMEM((TILE_GROUPS, 8, 128), jnp.int32),
         ],
     )
+    kw = {}
+    if schema.sec_words > 2048:
+        # wide sections (low-ratio 64-bit chunks): the out block alone is
+        # >2 MB; raise the VMEM budget ONLY for these schemas so the
+        # common shapes keep their measured schedule
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024)
     return pl.pallas_call(
         partial(_ec_kernel, schema),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, TILE_GROUPS, 8, schema.sec_words), jnp.int32),
         grid_spec=grid_spec,
         interpret=_interpret(),
+        **kw,
     )(*args)
 
 
@@ -934,7 +942,10 @@ def _plan_encode(nums, config, page_n, chunk_n):
             max_ob = int(lvc.max_offset_bits)
             worst_bits = float(np.max(meta.per_latent_var.primary.bins.worst_case_bits_per_latent(lvc.ans_size_log))) if b else 0.0
             sec_words = int(-(-int(page_n * (worst_bits + 1) + 64) // 32 // 128) * 128)
-            dev_ok = ts <= 4096 and b <= 2048 and sec_words <= 2048
+            # sec_words cap: low-ratio 64-bit chunks (worst bits ~78) need
+            # ~2528 words; the EC out block costs 1 KB/word so >2048 gets
+            # an explicit VMEM budget in _ec_call
+            dev_ok = ts <= 4096 and b <= 2048 and sec_words <= 3072
         if not dev_ok:
             chunk_jobs.append(("host", None))
             continue
