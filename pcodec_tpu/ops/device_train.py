@@ -95,6 +95,10 @@ _IDX_UPLOAD_CACHE: Dict[tuple, tuple] = {}
 # the same determinism argument as _IDX_UPLOAD_CACHE
 _BK_CACHE: Dict[tuple, tuple] = {}
 
+# deterministic float-mode draw streams per chunk size (sample_draws runs
+# a ~500k-element argsort; reruns of the same layout shouldn't repay it)
+_DRAWS_CACHE: Dict[int, object] = {}
+
 # last plan's decisions per (layout, dtype, config) — SPECULATION HINTS
 # only: phase B/C are dispatched from them right after stage 1 so their
 # compute overlaps the decision round trip; results are used only when the
@@ -1728,17 +1732,65 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         plt = U32
         _t0 = _trace("dict split dispatch", _t0)
 
+    if nums_host is None and isinstance(nums, np.ndarray):
+        nums_host = nums
+
     # float mode sampling: accepted draws depend on per-draw keep flags
-    # (normal floats below the sampling cap), fetched in a pre-pass
+    # (normal floats below the sampling cap). With a host mirror (the
+    # production setting) the draws, keeps, AND the sample VALUES all come
+    # from host gathers — no draw-index upload (~10 MB at 48M through the
+    # MB/s tunnel), no keep pre-pass round trip, and no mode-sample fetch.
+    # Without a mirror the keep flags come from the device pre-pass.
     draws_cache: Dict[int, object] = {}
     keep_by_chunk: List[Optional[np.ndarray]] = [None] * n_chunks
+    float_host_samples: Optional[List[Optional[np.ndarray]]] = None
     if is_float_auto:
+        for cn in chunk_ns:
+            if cn not in draws_cache:
+                d0 = _DRAWS_CACHE.get(cn)
+                if d0 is None:
+                    d0 = sampling.sample_draws(cn)
+                    if len(_DRAWS_CACHE) > 8:
+                        _DRAWS_CACHE.clear()
+                    _DRAWS_CACHE[cn] = d0
+                draws_cache[cn] = d0
+        mx = np.abs(np.asarray(cmp._max_for_sampling(nt), dtype=nt.np_dtype))
+        max_bits = int(mx.view(lt.np_dtype))
+        exp_mask = ((1 << (lt.bits - nt.precision_bits - 1)) - 1) << nt.precision_bits
+    if is_float_auto and nums_host is not None:
+        udt_h = {16: np.uint16, 32: np.uint32, 64: np.uint64}[lt.bits]
+        bits_h = nums_host.view(udt_h)
+        sign_h = udt_h(lt.mid)
+        float_host_samples = [None] * n_chunks
+        start = 0
+        for ci2, cn in enumerate(chunk_ns):
+            d = draws_cache[cn]
+            if d is None:
+                start += cn
+                continue
+            draws, is_first, target = d
+            b = bits_h[draws + start]
+            ab = b & udt_h(int(lt.mid) - 1)
+            exp = b & udt_h(exp_mask)
+            keep = (exp != 0) & (exp != udt_h(exp_mask)) & (ab <= udt_h(max_bits))
+            keep_by_chunk[ci2] = keep
+            # select_sample_indices' visited-set semantics, keeping the
+            # accepted draws' VALUES too (b is parallel to draws)
+            accepted = is_first & keep
+            acc_count = np.cumsum(accepted)
+            cut = int(np.searchsorted(acc_count, target, side="left")) + 1
+            sel = accepted[:cut]
+            if int(acc_count[min(cut, len(acc_count)) - 1]) >= sampling.MIN_SAMPLE:
+                sb = b[:cut][sel]
+                neg = (sb & sign_h) != 0
+                lat_s = np.where(neg, ~sb, sb ^ sign_h)
+                float_host_samples[ci2] = lat_s.astype(lt.np_dtype)
+            start += cn
+    elif is_float_auto:
         draw_idx_parts, draw_spans = [], []
         pos = 0
         start = 0
         for cn in chunk_ns:
-            if cn not in draws_cache:
-                draws_cache[cn] = sampling.sample_draws(cn)
             d = draws_cache[cn]
             ln = 0 if d is None else len(d[0])
             draw_spans.append((pos, ln))
@@ -1747,9 +1799,6 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             pos += ln
             start += cn
         if draw_idx_parts:
-            mx = np.abs(np.asarray(cmp._max_for_sampling(nt), dtype=nt.np_dtype))
-            max_bits = int(mx.view(lt.np_dtype))
-            exp_mask = ((1 << (lt.bits - nt.precision_bits - 1)) - 1) << nt.precision_bits
             keep_all = np.asarray(_phase_float_keep(
                 nums_dev, jnp.asarray(np.concatenate(draw_idx_parts)),
                 mid=int(lt.mid), exp_mask=exp_mask, max_bits=max_bits,
@@ -1846,8 +1895,9 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
     cached = (None if (is_float_auto or host_decide)
               else _IDX_UPLOAD_CACHE.get(ckey))
     if cached is None:
+        skip_mode_gather = host_gcd_early or float_host_samples is not None
         mode_idx_dev = jnp.asarray(
-            np.zeros(0, np.int64) if host_gcd_early else mode_idx)
+            np.zeros(0, np.int64) if skip_mode_gather else mode_idx)
         delta_idx_dev = jnp.asarray(delta_idx)
         if not (is_float_auto or host_decide):
             # host_decide uploads empty index arrays — never cache those
@@ -1954,7 +2004,8 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
         mid=0 if is_dict else int(nt.latent.mid), total_rows=total_rows,
         page_n=page_n, int_auto=int_auto_eff, gcd_m_max=gcd_m_max,
         cand_meta=tuple(cand_meta), lat_bits=plt.bits,
-        fetch_mode_s=is_float_auto, sort32=sort32_on,
+        fetch_mode_s=is_float_auto and float_host_samples is None,
+        sort32=sort32_on,
     )
     _t0 = _trace("stage1 dispatch", _t0)
 
@@ -2253,7 +2304,11 @@ def plan_encode_device(nums, config: Optional[ChunkConfig],
             cand_bins_by_ci[ci] = lst
         pos += g_n
     mode_samples = None
-    if is_float_auto:
+    if is_float_auto and float_host_samples is not None:
+        parts_ms = [s for s in float_host_samples if s is not None and len(s)]
+        mode_samples = (np.concatenate(parts_ms) if parts_ms
+                        else np.zeros(0, lt.np_dtype))
+    elif is_float_auto:
         L_ms = len(mode_idx)
         ms_lo = buf[off : off + L_ms].astype(np.uint64)
         off += L_ms
