@@ -1408,11 +1408,14 @@ def float_mult_f64_device_ok(meta, nt) -> bool:
 
 # <=8192 entries: fully unrolled select tree (cost ~ entries/128 gathers
 # per 1024 lookups). Above that, the big-dict kernel (hot-prefix tree +
-# data-bounded cold-plane loop) covers up to 2^17 entries (8 MB of VMEM
-# planes, vmem_limit raised); only beyond THAT does the join fall to the
-# ~35 M/s XLA gather. The wire format allows 2^25 entries
-# (ref: metadata/mode.rs:102-195).
-_DICT_JOIN_MAX_ENTRIES = 1 << 17
+# data-bounded cold-plane loop) covers up to 2^15 entries; beyond THAT the
+# join falls to the ~35 M/s XLA gather, which MEASURED FASTER than the
+# plane loop for uniform indices at 10^5 entries (kernel 14.5 M nums/s vs
+# gather ~35 M/s, BENCH_MATRIX_r05 dict_i64_100k, 2026-08-21 — the loop
+# pays ~P plane iterations per 1024 lookups regardless of hit locality,
+# so past ~2^15 entries it only wins on zipf-ish data; the wire format
+# allows 2^25 entries, ref: metadata/mode.rs:102-195).
+_DICT_JOIN_MAX_ENTRIES = 1 << 15
 
 
 def _dict_mem_planes(nt: NumberType, dict_vals: np.ndarray):
